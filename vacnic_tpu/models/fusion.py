@@ -1,0 +1,415 @@
+"""Multimodal BART: the VACNIC fusion encoder + vanilla decoder.
+
+Rebuilds `BartForMultiModalGeneration` (reference
+src/models/modeling_mmbart_...face_name_ids_crossattn.py:1877, and its
+only-visual subset ...enc_self_crossattn.py) as one model with optional
+streams — the reference's `only_image` flag already selects between the two
+files' behaviors (SURVEY §2.2).
+
+Per fusion layer (reference :568-762), with streams threaded layer-to-layer:
+
+  img  : residual FFN (d→ffn_dim→d) + LN                        (:588-590, 646-653)
+  face : residual FFN (d→3072→d) + LN                           (:607-609, 656-664)
+  ner  : self-attn of name states over concat(face, name) KV     (:600-605, 667-679)
+         then a length-compressing FFN 80→4·20→20 applied across
+         the *length* dimension (transpose trick) + LN           (:595-598, 681-688)
+  text : self-attn (+pad mask), then cross-attn with
+         KV = concat(img_prompt, ner_prefix)   [add_ner_ffn]     (:611-616, 690-723)
+         KV = img_prompt only                  [only_image]
+  text : standard FFN + LN                                       (:738-744)
+
+Mask families (reference :1262-1296):
+  * attention_mask      — article pad mask, expanded additive.
+  * face_name_mask      — concat(face_mask, name_mask) expanded to tgt=80.
+  * img+ner cross mask  — all-ones over (prompt, ner_prefix), tgt=src_len
+                          (ner_prefix positions are always visible: the
+                          length-compression mixes padding anyway).
+
+Deviation from the reference (documented, not a behavior the released config
+exercises): with only_image=False and add_ner_ffn=False the reference builds a
+cross-KV of concat(img, ner, text) but a mask covering only img+ner
+(:666, :1296), which crashes at runtime in torch; here that path masks the
+full KV correctly using the article pad mask for the text segment.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vacnic_tpu.core.config import BartConfig, FusionConfig
+from vacnic_tpu.models import bart as B
+from vacnic_tpu.models.layers import (
+    ACT2FN,
+    Params,
+    RngStream,
+    dropout,
+    embed,
+    embedding_init,
+    expand_mask,
+    layernorm,
+    layernorm_init,
+    linear,
+    linear_init,
+    mha,
+    mha_init,
+)
+
+
+# ---------------------------------------------------------------------------
+# Prompt mappers (reference :76-123)
+# ---------------------------------------------------------------------------
+
+def prompt_mlp_clipcap_init(key, img_size: int, prompt_size: int) -> Params:
+    """ClipCap mapper: Linear(img→img·P/2) → Tanh → Linear(→img·P) (reference :111-123)."""
+    k1, k2 = jax.random.split(key)
+    mid = (img_size * prompt_size) // 2
+    return {
+        "prompt_fc1": linear_init(k1, img_size, mid),
+        "prompt_fc2": linear_init(k2, mid, img_size * prompt_size),
+    }
+
+
+def prompt_mlp_clipcap_fwd(p: Params, cls_feat: jax.Array, img_size: int, prompt_size: int) -> jax.Array:
+    """[B, img_size] → [B, prompt_size, img_size] (reshape at reference :1275-1276)."""
+    h = jnp.tanh(linear(p["prompt_fc1"], cls_feat))
+    h = linear(p["prompt_fc2"], h)
+    return h.reshape(h.shape[0], prompt_size, img_size)
+
+
+def prompt_mlp_patch_init(key, map_size: tuple[int, ...]) -> Params:
+    """Non-clipcap mapper over patch tokens (reference MLP :76-108): linears over
+    the *patch* dimension of transposed (B, hidden, n_patches)."""
+    ks = jax.random.split(key, len(map_size) - 1)
+    return {
+        "stages": tuple(
+            linear_init(ks[i], map_size[i], map_size[i + 1]) for i in range(len(map_size) - 1)
+        )
+    }
+
+
+def prompt_mlp_patch_fwd(p: Params, patch_feat: jax.Array) -> jax.Array:
+    """[B, n_patches, width] → [B, map_size[-1], width]."""
+    x = patch_feat.transpose(0, 2, 1)  # (B, width, n_patches)
+    n = len(p["stages"])
+    for i, stage in enumerate(p["stages"]):
+        x = linear(stage, x)
+        if i < n - 1:
+            x = jnp.tanh(x)
+    return x.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def fusion_encoder_layer_init(key, cfg: BartConfig, fcfg: FusionConfig, fused: bool) -> Params:
+    """Vanilla encoder-layer params plus (if `fused`) the fusion members
+    (reference :586-616). The reference allocates fusion params on every layer
+    and leaves them unused off the fusion list; we allocate only where used."""
+    p = B.encoder_layer_init(key, cfg)
+    if not fused:
+        return p
+    ks = jax.random.split(jax.random.fold_in(key, 1), 8)
+    p.update({
+        "img_up": linear_init(ks[0], cfg.d_model, cfg.encoder_ffn_dim),
+        "img_down": linear_init(ks[1], cfg.encoder_ffn_dim, cfg.d_model),
+        "img_layer_norm": layernorm_init(cfg.d_model),
+    })
+    if not fcfg.only_image:
+        p.update({
+            "face_up": linear_init(ks[2], cfg.d_model, 3072),
+            "face_down": linear_init(ks[3], 3072, cfg.d_model),
+            "face_layer_norm": layernorm_init(cfg.d_model),
+            "self_attn_img_name": mha_init(ks[4], cfg.d_model),
+            "img_name_attn_layer_norm": layernorm_init(cfg.d_model),
+            "ner_map_up": linear_init(ks[5], fcfg.max_ner_type_len, 4 * fcfg.max_ner_type_len_gt),
+            "ner_map_down": linear_init(ks[6], 4 * fcfg.max_ner_type_len_gt, fcfg.max_ner_type_len_gt),
+            "ner_map_layer_norm": layernorm_init(cfg.d_model),
+        })
+    # cross_attn_img_ner exists in both the full and only-visual variants
+    p.update({
+        "cross_attn_img_ner": mha_init(ks[7], cfg.d_model),
+        "img_ner_attn_layer_norm": layernorm_init(cfg.d_model),
+    })
+    return p
+
+
+def multimodal_bart_init(key, cfg: BartConfig, fcfg: FusionConfig) -> Params:
+    """Extends the vanilla BART tree with the fusion encoder members
+    (reference BartEncoder.__init__ modifications :1131-1166)."""
+    params = B.bart_init(key, cfg)
+    enc = params["encoder"]
+    ks = jax.random.split(jax.random.fold_in(key, 99), 6)
+
+    fused_set = set(fcfg.fusion_layers)
+    enc["layers"] = tuple(
+        fusion_encoder_layer_init(jax.random.fold_in(ks[0], i), cfg, fcfg, i in fused_set)
+        for i in range(cfg.encoder_layers)
+    )
+
+    if fcfg.prompt_mlp_type == "clipcap":
+        enc["prompt_mlp"] = prompt_mlp_clipcap_init(ks[1], fcfg.img_size, fcfg.prompt_size)
+    else:
+        enc["prompt_mlp"] = prompt_mlp_patch_init(ks[1], fcfg.map_size)
+
+    if cfg.d_model == 1024:
+        enc["visual_map"] = linear_init(ks[2], 768, 1024)  # reference :1143-1144
+
+    if not fcfg.only_image:
+        # Separate NER embedding table seeded from shared[:50265] (reference
+        # :1150-1151), deep-copied positional table + LN (:1153-1155).
+        ner_w = embedding_init(ks[3], fcfg.ner_vocab_size, cfg.d_model)["weight"]
+        shared_w = params["shared"]["weight"]
+        n_seed = min(shared_w.shape[0], fcfg.ner_vocab_size, 50265)
+        ner_w = ner_w.at[:n_seed].set(shared_w[:n_seed])
+        enc["embed_tokens_ner"] = {"weight": ner_w}
+        enc["embed_positions_ner"] = copy.deepcopy(enc["embed_positions"])
+        enc["layernorm_embedding_ner"] = layernorm_init(cfg.d_model)
+        enc["face_proj"] = linear_init(ks[4], fcfg.face_feature_dim, fcfg.dim_common)  # _linear_1 :1162
+
+    if fcfg.init_attn_weight:
+        # Tie fusion attention weights to the pretrained self_attn
+        # (init_attn_weight_encoder, reference :1858-1869).
+        layers = list(enc["layers"])
+        for i in fused_set:
+            lp = dict(layers[i])
+            lp["cross_attn_img_ner"] = copy.deepcopy(lp["self_attn"])
+            if not fcfg.only_image:
+                lp["self_attn_img_name"] = copy.deepcopy(lp["self_attn"])
+            layers[i] = lp
+        enc["layers"] = tuple(layers)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Fusion encoder layer forward
+# ---------------------------------------------------------------------------
+
+def _residual_ffn(up: Params, down: Params, ln: Params, x, act, cfg, rngs: RngStream):
+    residual = x
+    h = act(linear(up, x))
+    h = dropout(h, cfg.activation_dropout, rngs.next())
+    h = linear(down, h)
+    h = dropout(h, cfg.dropout, rngs.next())
+    return layernorm(ln, residual + h)
+
+
+def fusion_encoder_layer_fwd(
+    p: Params,
+    x: jax.Array,
+    attn_mask: jax.Array,
+    streams: dict[str, Any],
+    masks: dict[str, Any],
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    rngs: RngStream,
+    fused: bool,
+    add_ner_ffn: bool = True,
+) -> tuple[jax.Array, dict[str, Any]]:
+    """One encoder layer; `streams` = {"img", "face", "ner"} hidden states
+    threaded between layers (reference returns them per layer :752-762)."""
+    act = ACT2FN[cfg.activation_function]
+
+    if not fused:
+        x = B.encoder_layer_fwd(p, x, attn_mask, cfg, rngs)
+        return x, streams
+
+    img = _residual_ffn(p["img_up"], p["img_down"], p["img_layer_norm"],
+                        streams["img"], act, cfg, rngs)
+    face = streams.get("face")
+    ner = streams.get("ner")
+
+    if not fcfg.only_image:
+        face = _residual_ffn(p["face_up"], p["face_down"], p["face_layer_norm"],
+                             face, act, cfg, rngs)
+        if add_ner_ffn:
+            # name states attend over concat(face, name) (reference :667-679)
+            residual = ner
+            fn_kv = jnp.concatenate([face, ner], axis=1)
+            h, _ = mha(p["self_attn_img_name"], ner, key_value=fn_kv,
+                       mask=masks["face_name"], num_heads=cfg.encoder_attention_heads)
+            ner = layernorm(p["img_name_attn_layer_norm"], residual + h)
+
+            # length-compressing NER-prefix FFN across the length dim (:681-688)
+            bsz, ner_len, d = ner.shape
+            t = ner.reshape(bsz, d, ner_len)  # reference reshapes, not transposes
+            t = act(linear(p["ner_map_up"], t))
+            t = dropout(t, cfg.activation_dropout, rngs.next())
+            t = linear(p["ner_map_down"], t)
+            t = dropout(t, cfg.dropout, rngs.next())
+            ner_prefix = t.reshape(bsz, fcfg.max_ner_type_len_gt, d)
+            ner_prefix = layernorm(p["ner_map_layer_norm"], ner_prefix)
+            kv = jnp.concatenate([img, ner_prefix], axis=1)
+            cross_mask = masks["img_ner"]
+        else:
+            kv = jnp.concatenate([img, ner, x], axis=1)
+            cross_mask = masks["img_ner_text"]
+    else:
+        kv = img
+        cross_mask = masks["img_ner"]
+
+    # text self-attention (reference :697-707)
+    residual = x
+    h, _ = mha(p["self_attn"], x, mask=attn_mask, num_heads=cfg.encoder_attention_heads)
+    h = dropout(h, cfg.dropout, rngs.next())
+    x = layernorm(p["self_attn_layer_norm"], residual + h)
+
+    # cross-attention to the multimodal KV (reference :710-723)
+    residual = x
+    h, _ = mha(p["cross_attn_img_ner"], x, key_value=kv, mask=cross_mask,
+               num_heads=cfg.encoder_attention_heads)
+    h = dropout(h, cfg.dropout, rngs.next())
+    x = layernorm(p["img_ner_attn_layer_norm"], residual + h)
+
+    # standard FFN (reference :738-744)
+    x = _residual_ffn(p["fc1"], p["fc2"], p["final_layer_norm"], x, act, cfg, rngs)
+
+    return x, {"img": img, "face": face, "ner": ner}
+
+
+# ---------------------------------------------------------------------------
+# Multimodal encoder forward
+# ---------------------------------------------------------------------------
+
+def embed_ner_stream(enc: Params, name_ids: jax.Array, cfg: BartConfig,
+                     rngs: RngStream, dtype) -> jax.Array:
+    """NER stream embedding: separate table + positions + LN + dropout
+    (reference :1253-1260). Also reused no-grad by `get_embedding_ner`
+    (train...match.py:112-133)."""
+    return B.embed_and_norm(enc["embed_tokens_ner"], enc["embed_positions_ner"],
+                            enc["layernorm_embedding_ner"], name_ids, cfg, rngs, dtype)
+
+
+def map_image_prompt(enc: Params, image_features: jax.Array, cfg: BartConfig,
+                     fcfg: FusionConfig) -> jax.Array:
+    """CLIP features → prompt tokens [B, P, d_model] (reference :1272-1278)."""
+    if fcfg.prompt_mlp_type == "clipcap":
+        img = prompt_mlp_clipcap_fwd(enc["prompt_mlp"], image_features, fcfg.img_size, fcfg.prompt_size)
+    else:
+        img = prompt_mlp_patch_fwd(enc["prompt_mlp"], image_features)
+    if cfg.d_model == 1024:
+        img = linear(enc["visual_map"], img)
+    return img
+
+
+def mm_encoder_fwd(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    image_features: jax.Array,
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    *,
+    face_features: jax.Array | None = None,
+    face_mask: jax.Array | None = None,
+    name_ids: jax.Array | None = None,
+    name_mask: jax.Array | None = None,
+    add_ner_ffn: bool = True,
+    dropout_rng=None,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> dict[str, jax.Array]:
+    """Modified BartEncoder.forward (reference :1172-1381).
+
+    Returns {"last_hidden", "img", "ner", "face"} — the extended
+    BaseModelOutput fields `hidden_states_img/ner/face` (reference :1379-1381).
+    """
+    rngs = RngStream(dropout_rng)
+    enc = params["encoder"]
+    src_len = input_ids.shape[-1]
+
+    x = B.embed_and_norm(params["shared"], enc["embed_positions"], enc["layernorm_embedding"],
+                         input_ids, cfg, rngs, dtype)
+
+    masks: dict[str, Any] = {}
+    streams: dict[str, Any] = {}
+
+    if not fcfg.only_image:
+        ner = embed_ner_stream(enc, name_ids, cfg, rngs, dtype)
+        face = linear(enc["face_proj"], face_features.astype(dtype))
+        streams["ner"], streams["face"] = ner, face
+        fn_mask = jnp.concatenate([face_mask, name_mask], axis=1)
+        if add_ner_ffn:
+            masks["face_name"] = expand_mask(fn_mask, fcfg.max_ner_type_len, dtype)
+        else:
+            masks["face_name"] = expand_mask(name_mask, fcfg.max_ner_type_len_gt, dtype)
+        prompt_len = fcfg.prompt_size if fcfg.prompt_mlp_type == "clipcap" else fcfg.map_size[-1]
+        ones = jnp.ones((input_ids.shape[0], prompt_len + fcfg.max_ner_type_len_gt), dtype)
+        masks["img_ner"] = expand_mask(ones, src_len, dtype)
+        # corrected add_ner_ffn=False mask: img+ner always visible, text by pad mask
+        ones_in = jnp.ones((input_ids.shape[0], prompt_len + name_ids.shape[-1]), dtype)
+        masks["img_ner_text"] = expand_mask(
+            jnp.concatenate([ones_in, attention_mask.astype(dtype)], axis=1), src_len, dtype
+        )
+    else:
+        prompt_len = fcfg.prompt_size if fcfg.prompt_mlp_type == "clipcap" else fcfg.map_size[-1]
+        ones = jnp.ones((input_ids.shape[0], prompt_len), dtype)
+        masks["img_ner"] = expand_mask(ones, src_len, dtype)
+
+    streams["img"] = map_image_prompt(enc, image_features, cfg, fcfg).astype(dtype)
+    attn_mask = expand_mask(attention_mask, dtype=dtype)
+
+    fused_set = set(fcfg.fusion_layers)
+    layer = fusion_encoder_layer_fwd
+    if remat:
+        layer = jax.checkpoint(layer, static_argnums=(5, 6, 8, 9))
+
+    for i, p in enumerate(enc["layers"]):
+        x, streams = layer(p, x, attn_mask, streams, masks, cfg, fcfg, rngs,
+                           i in fused_set, add_ner_ffn)
+
+    return {
+        "last_hidden": x,
+        "img": streams.get("img"),
+        "ner": streams.get("ner"),
+        "face": streams.get("face"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full model forward
+# ---------------------------------------------------------------------------
+
+def mm_forward(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    decoder_input_ids: jax.Array,
+    image_features: jax.Array,
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    *,
+    face_features=None,
+    face_mask=None,
+    name_ids=None,
+    name_mask=None,
+    add_ner_ffn: bool = True,
+    dropout_rng=None,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> dict[str, jax.Array]:
+    """BartForMultiModalGeneration.forward (reference :1929-2021):
+    multimodal encoder → vanilla decoder → tied lm_head + final_logits_bias."""
+    rng_e = rng_d = None
+    if dropout_rng is not None:
+        rng_e, rng_d = jax.random.split(dropout_rng)
+    enc_out = mm_encoder_fwd(
+        params, input_ids, attention_mask, image_features, cfg, fcfg,
+        face_features=face_features, face_mask=face_mask,
+        name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
+        dropout_rng=rng_e, dtype=dtype, remat=remat,
+    )
+    dec_out, _ = B.decoder_fwd(params, decoder_input_ids, enc_out["last_hidden"],
+                               attention_mask, cfg, dropout_rng=rng_d, dtype=dtype, remat=remat)
+    return {
+        "logits": B.lm_logits(params, dec_out),
+        "decoder_hidden": dec_out,
+        "encoder_hidden": enc_out["last_hidden"],
+        "hidden_states_img": enc_out["img"],
+        "hidden_states_ner": enc_out["ner"],
+        "hidden_states_face": enc_out["face"],
+    }

@@ -1,0 +1,213 @@
+"""Checkpoint conversion: HF BART / CLIP torch state dicts → JAX pytrees.
+
+The reference loads `patrickvonplaten/bart-large-fp32` via HF
+`from_pretrained` (train...match.py:743) and OpenAI `clip.load("ViT-B/16")`
+(train...match.py:736); this module maps either state-dict layout onto the
+param trees defined in models/bart.py / models/clip_vit.py / models/fusion.py.
+Torch (out, in) kernels are transposed to JAX (in, out).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+from vacnic_tpu.core.config import BartConfig, ClipVisionConfig, FusionConfig
+
+Params = dict[str, Any]
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / ndarray → float32 ndarray (detached)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _linear(sd: Mapping[str, Any], prefix: str) -> Params:
+    p = {"kernel": jnp.asarray(_t(sd[f"{prefix}.weight"]).T)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.asarray(_t(sd[f"{prefix}.bias"]))
+    return p
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str) -> Params:
+    return {
+        "scale": jnp.asarray(_t(sd[f"{prefix}.weight"])),
+        "bias": jnp.asarray(_t(sd[f"{prefix}.bias"])),
+    }
+
+
+def _embedding(sd: Mapping[str, Any], key: str) -> Params:
+    return {"weight": jnp.asarray(_t(sd[key]))}
+
+
+def _mha(sd: Mapping[str, Any], prefix: str) -> Params:
+    return {name: _linear(sd, f"{prefix}.{name}") for name in ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+
+# ---------------------------------------------------------------------------
+# BART
+# ---------------------------------------------------------------------------
+
+def _bart_encoder_layer(sd, prefix: str) -> Params:
+    return {
+        "self_attn": _mha(sd, f"{prefix}.self_attn"),
+        "self_attn_layer_norm": _layernorm(sd, f"{prefix}.self_attn_layer_norm"),
+        "fc1": _linear(sd, f"{prefix}.fc1"),
+        "fc2": _linear(sd, f"{prefix}.fc2"),
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+    }
+
+
+def _bart_decoder_layer(sd, prefix: str) -> Params:
+    return {
+        "self_attn": _mha(sd, f"{prefix}.self_attn"),
+        "self_attn_layer_norm": _layernorm(sd, f"{prefix}.self_attn_layer_norm"),
+        "encoder_attn": _mha(sd, f"{prefix}.encoder_attn"),
+        "encoder_attn_layer_norm": _layernorm(sd, f"{prefix}.encoder_attn_layer_norm"),
+        "fc1": _linear(sd, f"{prefix}.fc1"),
+        "fc2": _linear(sd, f"{prefix}.fc2"),
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+    }
+
+
+def convert_bart(sd: Mapping[str, Any], cfg: BartConfig) -> Params:
+    """HF `BartForConditionalGeneration.state_dict()` → models/bart.py tree.
+
+    Accepts both `model.`-prefixed (ForConditionalGeneration) and bare
+    (BartModel) key layouts.
+    """
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")} | {
+            k: v for k, v in sd.items() if not k.startswith("model.")
+        }
+    params: Params = {
+        "shared": _embedding(sd, "shared.weight"),
+        "encoder": {
+            "embed_positions": _embedding(sd, "encoder.embed_positions.weight"),
+            "layernorm_embedding": _layernorm(sd, "encoder.layernorm_embedding"),
+            "layers": tuple(
+                _bart_encoder_layer(sd, f"encoder.layers.{i}") for i in range(cfg.encoder_layers)
+            ),
+        },
+        "decoder": {
+            "embed_positions": _embedding(sd, "decoder.embed_positions.weight"),
+            "layernorm_embedding": _layernorm(sd, "decoder.layernorm_embedding"),
+            "layers": tuple(
+                _bart_decoder_layer(sd, f"decoder.layers.{i}") for i in range(cfg.decoder_layers)
+            ),
+        },
+    }
+    if "final_logits_bias" in sd:
+        params["final_logits_bias"] = jnp.asarray(_t(sd["final_logits_bias"]).reshape(-1))
+    else:
+        params["final_logits_bias"] = jnp.zeros((params["shared"]["weight"].shape[0],), jnp.float32)
+    return params
+
+
+def resize_vocab(params: Params, new_vocab: int, seed_rows: int | None = None) -> Params:
+    """Extend the shared embedding + logits bias to `new_vocab` rows.
+
+    Matches `resize_token_embeddings` + `_resize_final_logits_bias`
+    (reference model :1906-1918): new rows are drawn N(0, 0.02²)... the HF
+    resize uses the model's initializer (normal std=0.02); the logits bias is
+    zero-extended.
+    """
+    old = np.asarray(params["shared"]["weight"])
+    v, d = old.shape
+    if new_vocab <= v:
+        new_w = old[:new_vocab]
+        new_b = np.asarray(params["final_logits_bias"])[:new_vocab]
+    else:
+        rng = np.random.RandomState(0)
+        extra = rng.normal(0.0, 0.02, size=(new_vocab - v, d)).astype(np.float32)
+        new_w = np.concatenate([old, extra], axis=0)
+        new_b = np.concatenate(
+            [np.asarray(params["final_logits_bias"]), np.zeros((new_vocab - v,), np.float32)]
+        )
+    out = dict(params)
+    out["shared"] = {"weight": jnp.asarray(new_w)}
+    out["final_logits_bias"] = jnp.asarray(new_b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLIP (OpenAI layout and HF layout)
+# ---------------------------------------------------------------------------
+
+def convert_clip_vision_openai(sd: Mapping[str, Any], cfg: ClipVisionConfig) -> Params:
+    """OpenAI CLIP `visual.*` state dict → models/clip_vit.py tree."""
+    p: Params = {
+        "conv1": {"kernel": jnp.asarray(_t(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0))},
+        "class_embedding": jnp.asarray(_t(sd["visual.class_embedding"])),
+        "positional_embedding": jnp.asarray(_t(sd["visual.positional_embedding"])),
+        "ln_pre": _layernorm(sd, "visual.ln_pre"),
+        "ln_post": _layernorm(sd, "visual.ln_post"),
+        "layers": [],
+    }
+    if "visual.proj" in sd:
+        p["proj"] = jnp.asarray(_t(sd["visual.proj"]))
+    layers = []
+    for i in range(cfg.layers):
+        pre = f"visual.transformer.resblocks.{i}"
+        in_w = _t(sd[f"{pre}.attn.in_proj_weight"])  # (3d, d)
+        in_b = _t(sd[f"{pre}.attn.in_proj_bias"])
+        d = in_w.shape[1]
+        qw, kw, vw = in_w[:d], in_w[d:2 * d], in_w[2 * d:]
+        qb, kb, vb = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+        layers.append({
+            "attn": {
+                "q_proj": {"kernel": jnp.asarray(qw.T), "bias": jnp.asarray(qb)},
+                "k_proj": {"kernel": jnp.asarray(kw.T), "bias": jnp.asarray(kb)},
+                "v_proj": {"kernel": jnp.asarray(vw.T), "bias": jnp.asarray(vb)},
+                "out_proj": _linear(sd, f"{pre}.attn.out_proj"),
+            },
+            "ln_1": _layernorm(sd, f"{pre}.ln_1"),
+            "ln_2": _layernorm(sd, f"{pre}.ln_2"),
+            "mlp": {
+                "c_fc": _linear(sd, f"{pre}.mlp.c_fc"),
+                "c_proj": _linear(sd, f"{pre}.mlp.c_proj"),
+            },
+        })
+    p["layers"] = tuple(layers)
+    return p
+
+
+def convert_clip_vision_hf(sd: Mapping[str, Any], cfg: ClipVisionConfig) -> Params:
+    """HF `CLIPVisionModel.state_dict()` → models/clip_vit.py tree."""
+    pre = "vision_model"
+    if not any(k.startswith(pre) for k in sd):
+        raise ValueError("not an HF CLIP vision state dict")
+    p: Params = {
+        "conv1": {
+            "kernel": jnp.asarray(_t(sd[f"{pre}.embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0))
+        },
+        "class_embedding": jnp.asarray(_t(sd[f"{pre}.embeddings.class_embedding"])),
+        "positional_embedding": jnp.asarray(_t(sd[f"{pre}.embeddings.position_embedding.weight"])),
+        "ln_pre": _layernorm(sd, f"{pre}.pre_layrnorm"),  # (sic) HF misspells it
+        "ln_post": _layernorm(sd, f"{pre}.post_layernorm"),
+    }
+    layers = []
+    for i in range(cfg.layers):
+        lp = f"{pre}.encoder.layers.{i}"
+        layers.append({
+            "attn": {
+                "q_proj": _linear(sd, f"{lp}.self_attn.q_proj"),
+                "k_proj": _linear(sd, f"{lp}.self_attn.k_proj"),
+                "v_proj": _linear(sd, f"{lp}.self_attn.v_proj"),
+                "out_proj": _linear(sd, f"{lp}.self_attn.out_proj"),
+            },
+            "ln_1": _layernorm(sd, f"{lp}.layer_norm1"),
+            "ln_2": _layernorm(sd, f"{lp}.layer_norm2"),
+            "mlp": {
+                "c_fc": _linear(sd, f"{lp}.mlp.fc1"),
+                "c_proj": _linear(sd, f"{lp}.mlp.fc2"),
+            },
+        })
+    p["layers"] = tuple(layers)
+    if "visual_projection.weight" in sd:
+        p["proj"] = jnp.asarray(_t(sd["visual_projection.weight"]).T)
+    return p

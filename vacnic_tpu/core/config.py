@@ -226,6 +226,7 @@ class DecodeConfig:
     early_stopping: bool = True
     min_length: int = 0
     no_repeat_ngram_size: int = 3  # facebook/bart-large generation default
+    forced_eos: bool = True  # BartConfig default forced_eos_token_id=2
     seed: int = 42
     batch_size: int = 1
 

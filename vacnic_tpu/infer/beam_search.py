@@ -1,0 +1,251 @@
+"""Jitted beam search, bit-compatible with transformers-4.18 `generate` semantics.
+
+The reference inherits beam search from HF `GenerationMixin` (SURVEY §2.6;
+model hooks `prepare_inputs_for_generation` :2023-2061, `_reorder_cache`
+:2066-2074). Decode config per README.md:8 / run_full_train.sh:11: beam 5,
+max_length 50, length_penalty 2.0.
+
+Semantics replicated from HF beam search:
+  * decoder starts from `decoder_start_token_id` (</s> for BART);
+  * `forced_bos_token_id` processor at cur_len==1 (all −inf, forced token 0);
+  * `min_length` processor (eos banned while cur_len < min_length);
+  * `no_repeat_ngram_size` processor (tokens completing a repeated n-gram
+    banned);
+  * per step: log_softmax → processors → + beam score → top-2K over K·V;
+    eos candidates become hypotheses scored `sum_logprobs / cur_len**lp`
+    (hyp length *excludes* the eos, includes decoder start); non-eos
+    candidates fill the next K beams;
+  * `early_stopping=True`: a batch is done once K hypotheses exist;
+    `early_stopping=False`: done when the best possible running score cannot
+    beat the worst kept hypothesis;
+  * finalize: unfinished batches add their running beams scored
+    `sum / max_length**lp`; output picks the best hypothesis, appends eos if
+    room, pads with pad_token.
+
+Everything is static-shape: the whole search is one `lax.while_loop` under
+`jit`, the KV cache pre-allocated at [B·K, ...] (TPU-friendly — no host
+round-trips per step, unlike the reference's Python decode loop).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vacnic_tpu.core.config import DecodeConfig
+
+NEG_INF = -1.0e7  # large-but-finite; matches practical HF -inf handling under fp32
+
+
+class BeamState(NamedTuple):
+    cur_len: jax.Array  # scalar int32 — tokens so far (incl. decoder start)
+    running_seqs: jax.Array  # [B, K, L]
+    running_scores: jax.Array  # [B, K] cumulative logprob
+    finished_seqs: jax.Array  # [B, K, L]
+    finished_scores: jax.Array  # [B, K] length-normalized
+    finished_flags: jax.Array  # [B, K] bool
+    done: jax.Array  # [B] bool — batch frozen
+    cache: Any  # pytree, leading dim B*K
+
+
+def flatten_beam_dim(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def unflatten_beam_dim(x, b, k):
+    return x.reshape((b, k) + x.shape[1:])
+
+
+def gather_beams(x, beam_indices, b, k_out):
+    """x: [B, K_in, ...]; beam_indices: [B, K_out] → [B, K_out, ...]."""
+    batch = jnp.arange(b)[:, None]
+    return x[batch, beam_indices]
+
+
+def _apply_no_repeat_ngram(seqs: jax.Array, cur_len: jax.Array, logprobs: jax.Array, n: int):
+    """Ban tokens that would complete an n-gram already in the sequence.
+
+    seqs [B, K, L]; logprobs [B, K, V]. A token v is banned iff the last n-1
+    generated tokens followed by v occur earlier as a contiguous n-gram.
+    """
+    b, k, L = seqs.shape
+    v = logprobs.shape[-1]
+    # last (n-1)-token prefix, gathered at traced positions
+    idx = cur_len - (n - 1) + jnp.arange(n - 1)  # [n-1]
+    prefix = jnp.take_along_axis(seqs, jnp.broadcast_to(idx[None, None, :], (b, k, n - 1)), axis=2)
+
+    pos = jnp.arange(L - n + 1)  # candidate n-gram start positions
+    # windows[b,k,p,i] = seqs[b,k,p+i] for i < n-1; banned token = seqs[b,k,p+n-1]
+    win_idx = pos[:, None] + jnp.arange(n - 1)[None, :]  # [P, n-1]
+    windows = seqs[:, :, win_idx]  # [B, K, P, n-1]
+    banned_tok = seqs[:, :, pos + (n - 1)]  # [B, K, P]
+    match = jnp.all(windows == prefix[:, :, None, :], axis=-1)  # [B, K, P]
+    # the n-gram must lie fully within generated tokens: p + n - 1 <= cur_len - 1
+    valid = (pos[None, None, :] + (n - 1)) <= (cur_len - 1)
+    match = match & valid & (cur_len >= n)
+    ban = jnp.zeros((b, k, v), bool)
+    ban = ban.at[jnp.arange(b)[:, None, None], jnp.arange(k)[None, :, None], banned_tok].max(
+        match
+    )
+    return jnp.where(ban, NEG_INF, logprobs)
+
+
+def beam_search(
+    step_fn: Callable[[jax.Array, Any, jax.Array], tuple[jax.Array, Any]],
+    init_cache: Any,
+    batch_size: int,
+    *,
+    cfg: DecodeConfig,
+    eos_token_id: int,
+    pad_token_id: int,
+    decoder_start_token_id: int,
+    forced_bos_token_id: int | None,
+    vocab_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Run beam search. `step_fn(tokens[BK,1], cache, pos) → (logits[BK,V], cache)`.
+
+    Returns (sequences [B, L], scores [B]) for the best hypothesis per batch.
+    """
+    b, k, L = batch_size, cfg.num_beams, cfg.max_length
+    lp = cfg.length_penalty
+
+    running_seqs = jnp.full((b, k, L), pad_token_id, jnp.int32)
+    running_seqs = running_seqs.at[:, :, 0].set(decoder_start_token_id)
+    # beam 0 live, others -inf (HF initializes beam_scores[:, 1:] = -1e9)
+    running_scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1)), (b, 1))
+
+    state = BeamState(
+        cur_len=jnp.int32(1),
+        running_seqs=running_seqs,
+        running_scores=running_scores.astype(jnp.float32),
+        finished_seqs=jnp.full((b, k, L), pad_token_id, jnp.int32),
+        finished_scores=jnp.full((b, k), NEG_INF, jnp.float32),
+        finished_flags=jnp.zeros((b, k), bool),
+        done=jnp.zeros((b,), bool),
+        cache=init_cache,
+    )
+
+    def cond(s: BeamState):
+        return (s.cur_len < L) & ~jnp.all(s.done)
+
+    def body(s: BeamState) -> BeamState:
+        cur = s.cur_len
+        tok = jax.lax.dynamic_slice_in_dim(  # last token, [BK, 1]
+            flatten_beam_dim(s.running_seqs), cur - 1, 1, axis=1
+        )
+        logits, new_cache = step_fn(tok, s.cache, cur - 1)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logprobs = unflatten_beam_dim(logprobs, b, k)  # [B, K, V]
+
+        # --- logits processors (HF order; forced_bos overrides last) -------
+        if cfg.min_length > 0:
+            logprobs = jnp.where(
+                (cur < cfg.min_length)
+                & (jnp.arange(vocab_size)[None, None, :] == eos_token_id),
+                NEG_INF,
+                logprobs,
+            )
+        if cfg.no_repeat_ngram_size > 0:
+            logprobs = _apply_no_repeat_ngram(s.running_seqs, cur, logprobs, cfg.no_repeat_ngram_size)
+        if forced_bos_token_id is not None:
+            is_first = cur == 1
+            forced = jnp.where(
+                jnp.arange(vocab_size)[None, None, :] == forced_bos_token_id, 0.0, NEG_INF
+            )
+            logprobs = jnp.where(is_first, forced, logprobs)
+        if cfg.forced_eos:
+            # ForcedEOSTokenLogitsProcessor: at max_length-1 all mass on eos
+            # with score 0 (BartConfig default forced_eos_token_id).
+            is_last = cur == L - 1
+            forced = jnp.where(
+                jnp.arange(vocab_size)[None, None, :] == eos_token_id, 0.0, NEG_INF
+            )
+            logprobs = jnp.where(is_last, forced, logprobs)
+
+        total = logprobs + s.running_scores[:, :, None]  # [B, K, V]
+        flat = total.reshape(b, k * vocab_size)
+        topk_scores, topk_idx = jax.lax.top_k(flat, 2 * k)  # [B, 2K]
+        topk_beam = topk_idx // vocab_size
+        topk_tok = topk_idx % vocab_size
+
+        # candidate sequences with the new token written at position cur
+        cand_seqs = gather_beams(s.running_seqs, topk_beam, b, 2 * k)  # [B, 2K, L]
+        cand_seqs = jax.lax.dynamic_update_slice_in_dim(
+            cand_seqs, topk_tok[:, :, None], cur, axis=2
+        )
+
+        # --- stopping criteria on each candidate (HF `stopping_criteria`):
+        # eos just generated, or the candidate has reached max_length.
+        hits = (topk_tok == eos_token_id) | (cur + 1 >= L)
+        # only candidates ranked within the top K may become finished hypotheses
+        admit = hits & (jnp.arange(2 * k)[None, :] < k) & ~s.done[:, None]
+
+        # ----- finished pool: existing K + admitted candidates, keep top K --
+        # Normalization: generated length (excl. decoder start, incl. the new
+        # token) — HF `topk_log_probs / ((cur_len + 1 - decoder_prompt_len)**lp)`.
+        new_fin_scores = topk_scores / (cur.astype(jnp.float32) ** lp)
+        new_fin_scores = jnp.where(admit, new_fin_scores, NEG_INF)
+        fin_scores = jnp.concatenate([s.finished_scores, new_fin_scores], axis=1)  # [B, 3K]
+        fin_seqs = jnp.concatenate([s.finished_seqs, cand_seqs], axis=1)
+        fin_flags = jnp.concatenate([s.finished_flags, admit], axis=1)
+        top_fin_scores, top_fin_idx = jax.lax.top_k(fin_scores, k)
+        finished_seqs = gather_beams(fin_seqs, top_fin_idx, b, k)
+        finished_flags = gather_beams(fin_flags, top_fin_idx, b, k)
+
+        # ----- running beams: top K candidates that did not hit a criterion -
+        run_cand_scores = jnp.where(hits, NEG_INF, topk_scores)
+        top_run_scores, top_run_idx = jax.lax.top_k(run_cand_scores, k)
+        new_running_seqs = gather_beams(cand_seqs, top_run_idx, b, k)
+        sel_beam = gather_beams(topk_beam, top_run_idx, b, k)  # [B, K] source beams
+
+        # reorder cache along the B*K dim (HF `_reorder_cache`, self-attn only —
+        # cross-attn KV is beam-invariant; reordering it is a no-op we skip)
+        flat_sel = (jnp.arange(b)[:, None] * k + sel_beam).reshape(-1)  # [BK]
+
+        def reorder(path, leaf):
+            names = [str(p.key) for p in path if hasattr(p, "key")]
+            if "cross" in names:
+                return leaf
+            return jnp.take(leaf, flat_sel, axis=0)
+
+        new_cache = jax.tree_util.tree_map_with_path(reorder, new_cache)
+
+        # ----- done bookkeeping -------------------------------------------
+        all_fin = jnp.all(finished_flags, axis=1)
+        if cfg.early_stopping:
+            newly_done = all_fin
+        else:
+            # HF `_check_early_stop_heuristic`: once all K slots are finished,
+            # stop when the best running beam can no longer improve on the
+            # worst finished score (denominator = generated length so far).
+            best_possible = top_run_scores[:, 0] / (cur.astype(jnp.float32) ** lp)
+            worst_fin = jnp.min(top_fin_scores, axis=1)
+            newly_done = all_fin & (best_possible <= worst_fin)
+        done = s.done | newly_done
+
+        # freeze state for done batches
+        def freeze(old, new):
+            extra = (1,) * (new.ndim - 1)
+            return jnp.where(s.done.reshape((b,) + extra), old, new)
+
+        return BeamState(
+            cur_len=cur + 1,
+            running_seqs=freeze(s.running_seqs, new_running_seqs),
+            running_scores=freeze(s.running_scores, top_run_scores),
+            finished_seqs=freeze(s.finished_seqs, finished_seqs),
+            finished_scores=freeze(s.finished_scores, top_fin_scores),
+            finished_flags=freeze(s.finished_flags, finished_flags),
+            done=done,
+            cache=new_cache,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # No separate finalize: the max_length stopping criterion folds the last
+    # step's running beams into the finished pool with generated-length
+    # normalization (HF's vectorized beam search has no legacy finalize).
+    # finished pool is already sorted descending; num_return_sequences=1.
+    return state.finished_seqs[:, 0], state.finished_scores[:, 0]

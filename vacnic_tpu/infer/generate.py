@@ -1,0 +1,92 @@
+"""Generation entry points: encoder-once + KV-cached jitted beam search.
+
+Mirrors the reference decode path (gen_caption_from_loader_bart*,
+train...match.py:480-559; utils/test_mmbart_clip_ddp.py:758-1001): the
+encoder consumes the multimodal kwargs once, then the decoder steps under
+beam search with cached KV. Unlike the reference's per-step Python loop
+through HF `generate`, the whole search compiles to a single XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vacnic_tpu.core.config import BartConfig, DecodeConfig, FusionConfig
+from vacnic_tpu.models import bart as B
+from vacnic_tpu.models import fusion as F
+from vacnic_tpu.infer.beam_search import beam_search, flatten_beam_dim
+
+
+def _expand_to_beams(x: jax.Array, k: int) -> jax.Array:
+    """[B, ...] → [B*K, ...] (HF `_expand_inputs_for_generation`)."""
+    return jnp.repeat(x, k, axis=0)
+
+
+def _decode_from_encoder(
+    params, enc_hidden, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype
+):
+    bsz = enc_hidden.shape[0]
+    k = dcfg.num_beams
+    enc_hidden_x = _expand_to_beams(enc_hidden, k)
+    mask_x = _expand_to_beams(attention_mask, k)
+    cache = B.init_cache(params, bsz * k, dcfg.max_length, enc_hidden_x, cfg, dtype)
+
+    def step_fn(tok, cache, pos):
+        dec_h, cache = B.decoder_fwd(
+            params, tok, enc_hidden_x, mask_x, cfg, dtype=dtype, cache=cache, cache_index=pos
+        )
+        logits = B.lm_logits(params, dec_h)[:, 0, :]
+        return logits, cache
+
+    return beam_search(
+        step_fn,
+        cache,
+        bsz,
+        cfg=dcfg,
+        eos_token_id=cfg.eos_token_id,
+        pad_token_id=cfg.pad_token_id,
+        decoder_start_token_id=cfg.decoder_start_token_id,
+        forced_bos_token_id=cfg.forced_bos_token_id,
+        vocab_size=params["shared"]["weight"].shape[0],
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "dcfg", "dtype"))
+def generate_text_bart(
+    params, input_ids, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype=jnp.float32
+):
+    """Text-only BART beam generation (CoLaM-teacher-style model; parity target
+    for tests/test_beam_parity.py)."""
+    enc = B.encoder_fwd(params, input_ids, attention_mask, cfg, dtype=dtype)
+    return _decode_from_encoder(params, enc, attention_mask, cfg, dcfg, dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "fcfg", "dcfg", "add_ner_ffn", "dtype"))
+def generate_mm(
+    params,
+    input_ids,
+    attention_mask,
+    image_features,
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    dcfg: DecodeConfig,
+    *,
+    face_features=None,
+    face_mask=None,
+    name_ids=None,
+    name_mask=None,
+    add_ner_ffn: bool = True,
+    dtype=jnp.float32,
+):
+    """Multimodal caption generation — `model.generate(...)` equivalent
+    (train...match.py:513-520 call signature)."""
+    enc = F.mm_encoder_fwd(
+        params, input_ids, attention_mask, image_features, cfg, fcfg,
+        face_features=face_features, face_mask=face_mask,
+        name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn, dtype=dtype,
+    )
+    return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg, dcfg, dtype)

@@ -1,0 +1,92 @@
+"""Benchmark: captions/sec/chip for full VACNIC BART-large beam-5 decode.
+
+North-star metric (BASELINE.json): captions/sec/chip at beam 5, max_length 50,
+length_penalty 2.0 on the full multimodal model (article 512 + visual prompt +
+face + NER streams). The reference decodes batch-1 through HF's Python beam
+loop on an A100 (README.md:8, utils/test_mmbart_clip_ddp.py); the repo
+publishes no throughput number, so `vs_baseline` is computed against a
+documented estimate of that path: ~1.4 captions/sec (≈0.7 s per beam-5
+50-token caption with per-step host dispatch on one A100 — BASELINE.md notes
+"reference throughput must be measured or estimated").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_CAPTIONS_PER_SEC = 1.4  # estimated A100 batch-1 HF-loop throughput
+
+
+def main() -> None:
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    import dataclasses
+
+    cfg = VacnicConfig.full_train()
+    # min_length = max_length: random-weight models emit eos immediately, which
+    # would measure a 2-step decode; force the full 50-token beam search so the
+    # number reflects real caption-length decoding cost.
+    cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, min_length=cfg.decode.max_length - 1)
+    )
+    key = jax.random.PRNGKey(0)
+    params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    batch_size = 32
+    batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
+
+    import numpy as np
+
+    def run():
+        seqs, scores = generate_mm(
+            params,
+            batch["article_ids"],
+            create_mask(batch["article_ids"]),
+            batch["image_cls"],
+            cfg.bart,
+            cfg.fusion,
+            cfg.decode,
+            face_features=batch["face_emb"],
+            face_mask=face_mask_from_emb(batch["face_emb"]),
+            name_ids=batch["names_art_ids"],
+            name_mask=create_mask(batch["names_art_ids"]),
+            dtype=jnp.bfloat16,
+        )
+        # np.asarray forces a device→host transfer of the result: on tunneled
+        # backends `block_until_ready` may not actually block, which would
+        # time dispatch instead of execution.
+        return np.asarray(seqs)
+
+    run()  # compile + warmup
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = time.perf_counter() - t0
+    cps = batch_size * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "captions/sec/chip (BART-large full VACNIC, beam-5, len 50, lp 2.0)",
+                "value": round(cps, 3),
+                "unit": "captions/sec/chip",
+                "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

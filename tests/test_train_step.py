@@ -1,0 +1,109 @@
+"""Train-step tests: loss decreases, gradients only where expected, and the
+SPMD invariant — identical losses on a 1-device vs 8-device mesh (SURVEY §4
+distributed strategy; substitutes for the cluster the reference never had)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vacnic_tpu.core.config import VacnicConfig
+from vacnic_tpu.core.rng import set_random_seed
+from vacnic_tpu.data.synthetic import synthetic_batch
+from vacnic_tpu.models import bart as B
+from vacnic_tpu.models import fusion as F
+from vacnic_tpu.train.train_step import TrainState, eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = VacnicConfig.tiny()
+    key = set_random_seed(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {"model": F.multimodal_bart_init(k1, cfg.bart, cfg.fusion)}
+    teacher = B.bart_init(k2, cfg.bart)
+    batch = synthetic_batch(cfg, batch_size=8, seed=1)
+    return cfg, params, teacher, batch, k3
+
+
+def test_loss_decreases(setup):
+    cfg, params, teacher, batch, key = setup
+    init_fn, step_fn = make_train_step(cfg, num_training_steps=100)
+    state = init_fn(params, teacher, key)
+    step = jax.jit(step_fn)
+    state, m0 = step(state, batch)
+    losses = [float(m0["loss"])]
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 6
+
+
+def test_metrics_composition(setup):
+    cfg, params, teacher, batch, key = setup
+    init_fn, step_fn = make_train_step(cfg, 100)
+    state = init_fn(params, teacher, key)
+    _, m = jax.jit(step_fn)(state, batch)
+    t = cfg.train
+    expect = float(m["txt_loss"]) + t.alpha * float(m["margin_loss"]) + \
+        t.mapping_loss_weight * float(m["face_name_loss"])
+    assert abs(float(m["loss"]) - expect) < 1e-4
+
+
+def test_teacher_frozen(setup):
+    cfg, params, teacher, batch, key = setup
+    init_fn, step_fn = make_train_step(cfg, 100)
+    state = init_fn(params, teacher, key)
+    # two steps: step 0's warmup LR is exactly 0 (HF linear-warmup semantics)
+    new_state, _ = jax.jit(step_fn)(state, batch)
+    new_state, _ = jax.jit(step_fn)(new_state, batch)
+    before = jax.tree_util.tree_leaves(state.teacher)
+    after = jax.tree_util.tree_leaves(new_state.teacher)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # model params did change
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(new_state.params))
+    )
+    assert changed
+
+
+def test_dp_loss_matches_single_device(setup):
+    """The contrastive losses are global-batch B×B; sharding the batch over 8
+    devices must not change any loss term (SURVEY §2.9 all-gather semantics)."""
+    cfg, params, teacher, batch, key = setup
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, compute_dtype="float32")
+    )
+    init_fn, step_fn = make_train_step(cfg, 100)
+    state = init_fn(params, teacher, key)
+
+    # single device
+    _, m1 = jax.jit(step_fn)(state, batch)
+
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest should provide 8 virtual CPU devices"
+    mesh = Mesh(np.asarray(devices[:8]).reshape(8, 1), ("data", "model"))
+    bshard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    sharded_batch = {k: jax.device_put(v, bshard) for k, v in batch.items()}
+    sharded_state = jax.device_put(state, repl)
+    _, m8 = jax.jit(step_fn)(sharded_state, sharded_batch)
+
+    for k in ("loss", "txt_loss", "margin_loss", "face_name_loss"):
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=2e-5, atol=2e-5,
+            err_msg=f"{k} differs between 1-device and 8-device mesh",
+        )
+
+
+def test_eval_step(setup):
+    cfg, params, teacher, batch, key = setup
+    m = jax.jit(lambda p, b: eval_step(p, b, cfg))({"model": params["model"]}, batch)
+    assert np.isfinite(float(m["val_loss"]))

@@ -80,7 +80,10 @@ def param_shardings(params, mesh: Mesh):
     def spec_for(path, leaf):
         if model_axis is None or msize == 1:
             return NamedSharding(mesh, P())
-        spec = _param_spec(tuple(str(p.key) for p in path), leaf, model_axis)
+        names = tuple(
+            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+        )
+        spec = _param_spec(names, leaf, model_axis)
         # Only shard if the dim divides evenly; otherwise replicate.
         for dim, ax in enumerate(spec):
             if ax is not None and leaf.shape[dim] % msize != 0:

@@ -1,0 +1,102 @@
+"""Input pipeline: background-threaded batching + device prefetch.
+
+Replaces the reference's `DataLoader(num_workers=16)` worker processes
+(train...match.py:770-812) with a thread pool feeding a device-prefetch
+queue: while the TPU runs step N, batch N+1 is already collated and
+transferred (host→device overlap, SURVEY §3.1 boundary #2).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Sequence
+
+import jax
+import numpy as np
+
+
+class PrefetchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_fn: Callable[[list[dict]], dict[str, np.ndarray]],
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        sharding=None,
+        device_keys: Sequence[str] | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.device_keys = device_keys
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            # epoch-deterministic shuffle (DistributedSampler semantics)
+            np.random.RandomState(self.seed + self._epoch).shuffle(idx)
+        nb = len(self)
+        return [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        self._epoch += 1
+        batches = self._batch_indices()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for binds in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, binds))
+                    batch = self.collate_fn(samples)
+                    device_batch = {}
+                    for k, v in batch.items():
+                        if isinstance(v, np.ndarray) and (
+                            self.device_keys is None or k in self.device_keys
+                        ):
+                            device_batch[k] = (
+                                jax.device_put(v, self.sharding) if self.sharding else jax.device_put(v)
+                            )
+                        else:
+                            device_batch[k] = v
+                    q.put(device_batch)
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def shard_for_data_parallel(mesh) -> Any:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -1,0 +1,207 @@
+"""Tokenizers for the data layer.
+
+The reference uses HF `BartTokenizer` (byte-level GPT-2 BPE) with the special
+tokens `<ENT> <NONAME>` added for the model and additionally
+`<PERSON> <ORGNORP> <GPELOC>` for the dataset/NER side
+(train...match.py:753, 767-768). This module provides:
+
+  * `BartBpeTokenizer` — a self-contained byte-level BPE encoder/decoder that
+    loads the standard `vocab.json` + `merges.txt` files (shipped with any
+    BART checkpoint); no network or `transformers` needed at data time.
+  * `HashWordTokenizer` — deterministic word→id hashing with BART's special
+    token layout, for tests and synthetic pipelines.
+
+Both expose the small interface the datasets consume:
+`encode(text, max_length=None, add_special_tokens=True) -> list[int]`,
+`decode(ids, skip_special_tokens=True) -> str`, `add_special_tokens([...])`,
+plus `bos/eos/pad/unk_token_id` attributes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from functools import lru_cache
+
+
+@lru_cache()
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2 byte↔unicode table (maps every byte to a printable codepoint)."""
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(ord("¡"), ord("¬") + 1)) + list(
+        range(ord("®"), ord("ÿ") + 1)
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_GPT2_SPLIT = re.compile(
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+""",
+    re.UNICODE,
+)
+
+
+class BartBpeTokenizer:
+    """Byte-level BPE matching BART/GPT-2 tokenization.
+
+    vocab_file: path to vocab.json; merges_file: path to merges.txt.
+    BART ids: <s>=0, <pad>=1, </s>=2, <unk>=3.
+    """
+
+    def __init__(self, vocab_file: str, merges_file: str):
+        with open(vocab_file, encoding="utf-8") as f:
+            self.encoder: dict[str, int] = json.load(f)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        with open(merges_file, encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        merges = [m for m in merges if m and not m.startswith("#version")]
+        self.bpe_ranks = {tuple(m.split()): i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self._bpe_cache: dict[str, str] = {}
+
+        self.bos_token_id = self.encoder.get("<s>", 0)
+        self.pad_token_id = self.encoder.get("<pad>", 1)
+        self.eos_token_id = self.encoder.get("</s>", 2)
+        self.unk_token_id = self.encoder.get("<unk>", 3)
+        self.added_tokens: dict[str, int] = {}
+        self._added_pattern: re.Pattern | None = None
+
+    def __len__(self) -> int:
+        return len(self.encoder) + len(self.added_tokens)
+
+    # -- special tokens ----------------------------------------------------
+    def add_special_tokens(self, tokens: list[str]) -> None:
+        """Append new tokens after the base vocab (HF add_special_tokens
+        ordering: <ENT>=50265, <NONAME>=50266, <PERSON>=50267, ...)."""
+        for t in tokens:
+            if t not in self.added_tokens and t not in self.encoder:
+                self.added_tokens[t] = len(self.encoder) + len(self.added_tokens)
+        pat = "|".join(re.escape(t) for t in self.added_tokens)
+        self._added_pattern = re.compile(f"({pat})") if pat else None
+
+    # -- BPE core ----------------------------------------------------------
+    def _bpe(self, token: str) -> str:
+        if token in self._bpe_cache:
+            return self._bpe_cache[token]
+        word = tuple(token)
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        while pairs:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: list[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        out = " ".join(word)
+        self._bpe_cache[token] = out
+        return out
+
+    def _encode_text(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for tok in _GPT2_SPLIT.findall(text):
+            tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            for piece in self._bpe(tok_bytes).split(" "):
+                ids.append(self.encoder.get(piece, self.unk_token_id))
+        return ids
+
+    def encode(self, text: str, max_length: int | None = None,
+               add_special_tokens: bool = True) -> list[int]:
+        if self._added_pattern is not None:
+            parts = self._added_pattern.split(text)
+        else:
+            parts = [text]
+        ids: list[int] = []
+        for part in parts:
+            if not part:
+                continue
+            if part in self.added_tokens:
+                ids.append(self.added_tokens[part])
+            else:
+                ids.extend(self._encode_text(part))
+        if add_special_tokens:
+            ids = [self.bos_token_id] + ids + [self.eos_token_id]
+        if max_length is not None and len(ids) > max_length:
+            # HF truncation keeps the eos at the end
+            ids = ids[: max_length - 1] + [self.eos_token_id] if add_special_tokens else ids[:max_length]
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        special = {self.bos_token_id, self.eos_token_id, self.pad_token_id}
+        rev_added = {v: k for k, v in self.added_tokens.items()}
+        pieces: list[str] = []
+        for i in ids:
+            i = int(i)
+            if skip_special_tokens and i in special:
+                continue
+            if i in rev_added:
+                pieces.append(rev_added[i])
+            else:
+                pieces.append(self.decoder.get(i, ""))
+        text = "".join(pieces)
+        return bytearray(self.byte_decoder.get(c, 32) for c in text).decode("utf-8", errors="replace")
+
+
+class HashWordTokenizer:
+    """Deterministic word-hash tokenizer with BART's id layout — for tests and
+    synthetic data pipelines (no vocab files needed)."""
+
+    def __init__(self, vocab_size: int = 50265):
+        self.vocab_size = vocab_size
+        self.bos_token_id, self.pad_token_id, self.eos_token_id, self.unk_token_id = 0, 1, 2, 3
+        self.added_tokens: dict[str, int] = {}
+
+    def __len__(self) -> int:
+        return self.vocab_size + len(self.added_tokens)
+
+    def add_special_tokens(self, tokens: list[str]) -> None:
+        for t in tokens:
+            if t not in self.added_tokens:
+                self.added_tokens[t] = self.vocab_size + len(self.added_tokens)
+
+    def _word_id(self, w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 131 + ord(ch)) % (self.vocab_size - 10)
+        return 10 + h
+
+    def encode(self, text: str, max_length: int | None = None,
+               add_special_tokens: bool = True) -> list[int]:
+        ids = []
+        for w in text.split():
+            if w in self.added_tokens:
+                ids.append(self.added_tokens[w])
+            else:
+                ids.append(self._word_id(w))
+        if add_special_tokens:
+            ids = [self.bos_token_id] + ids + [self.eos_token_id]
+        if max_length is not None and len(ids) > max_length:
+            ids = ids[: max_length - 1] + [self.eos_token_id]
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        return " ".join(f"w{int(i)}" for i in ids if int(i) > 3)

@@ -1,0 +1,67 @@
+"""Checkpoint / resume via Orbax.
+
+The reference `torch.save(model)`s the whole pickled module on best-val and
+every epoch, never saves optimizer state, and has no resume path (SURVEY §5
+checkpoint/resume). Here: full TrainState (params + teacher + optimizer +
+step + rng) checkpoints with retention policy and the config stored beside as
+JSON — replacing the hyperparameters-in-filename codec
+(train...match.py:669-717) that the reference's inference script parses by
+substring.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from vacnic_tpu.core.config import VacnicConfig
+
+CONFIG_FILE = "config.json"
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, cfg: VacnicConfig | None = None, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+        if cfg is not None:
+            with open(os.path.join(self.directory, CONFIG_FILE), "w") as f:
+                f.write(cfg.to_json())
+
+    def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
+        """Async save (preemption-safe: returns once staged, commits in the
+        background)."""
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+
+    def restore(self, state_template: Any, step: int | None = None) -> tuple[Any, int]:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return state_template, 0
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        return restored, step
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+    @staticmethod
+    def load_config(directory: str) -> VacnicConfig:
+        with open(os.path.join(directory, CONFIG_FILE)) as f:
+            return VacnicConfig.from_json(f.read())

@@ -134,6 +134,70 @@ def resize_vocab(params: Params, new_vocab: int, seed_rows: int | None = None) -
     return out
 
 
+def convert_multimodal_bart(sd: Mapping[str, Any], cfg: BartConfig, fcfg: FusionConfig) -> Params:
+    """Reference `BartForMultiModalGeneration.state_dict()` → models/fusion.py
+    tree. Reference member names (model file): per fusion layer `_linear_1up/
+    _linear_1down` (img FFN), `_face_up/_face_down`, `self_attn_img_name`,
+    `ner_map_up/ner_map_down`, `cross_attn_img_ner` + their layer norms
+    (:588-616); encoder-level `prompt_mlp.model.{0,2}` (:1136), `visual_map`
+    (:1143), `embed_tokens_ner`, `embed_positions_ner`,
+    `layernorm_embedding_ner` (:1150-1155), `_linear_1` (face proj, :1162)."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")} | {
+            k: v for k, v in sd.items() if not k.startswith("model.")
+        }
+    params = convert_bart(sd, cfg)
+    enc = params["encoder"]
+
+    layers = []
+    for i, base in enumerate(enc["layers"]):
+        p = dict(base)
+        pre = f"encoder.layers.{i}"
+        if f"{pre}._linear_1up.weight" in sd and i in set(fcfg.fusion_layers):
+            p.update({
+                "img_up": _linear(sd, f"{pre}._linear_1up"),
+                "img_down": _linear(sd, f"{pre}._linear_1down"),
+                "img_layer_norm": _layernorm(sd, f"{pre}.img_layer_norm"),
+                "cross_attn_img_ner": _mha(sd, f"{pre}.cross_attn_img_ner"),
+                "img_ner_attn_layer_norm": _layernorm(sd, f"{pre}.img_ner_attn_layer_norm"),
+            })
+            if not fcfg.only_image:
+                p.update({
+                    "face_up": _linear(sd, f"{pre}._face_up"),
+                    "face_down": _linear(sd, f"{pre}._face_down"),
+                    "face_layer_norm": _layernorm(sd, f"{pre}.face_layer_norm"),
+                    "self_attn_img_name": _mha(sd, f"{pre}.self_attn_img_name"),
+                    "img_name_attn_layer_norm": _layernorm(sd, f"{pre}.img_name_attn_layer_norm"),
+                    "ner_map_up": _linear(sd, f"{pre}.ner_map_up"),
+                    "ner_map_down": _linear(sd, f"{pre}.ner_map_down"),
+                    "ner_map_layer_norm": _layernorm(sd, f"{pre}.ner_map_layer_norm"),
+                })
+        layers.append(p)
+    enc["layers"] = tuple(layers)
+
+    if "encoder.prompt_mlp.model.0.weight" in sd:
+        enc["prompt_mlp"] = {
+            "prompt_fc1": _linear(sd, "encoder.prompt_mlp.model.0"),
+            "prompt_fc2": _linear(sd, "encoder.prompt_mlp.model.2"),
+        }
+    elif "encoder.prompt_mlp.model.0.weight" not in sd:
+        stages = []
+        i = 0
+        while f"encoder.prompt_mlp.model.{i}.weight" in sd:
+            stages.append(_linear(sd, f"encoder.prompt_mlp.model.{i}"))
+            i += 2
+        if stages:
+            enc["prompt_mlp"] = {"stages": tuple(stages)}
+    if "encoder.visual_map.weight" in sd:
+        enc["visual_map"] = _linear(sd, "encoder.visual_map")
+    if not fcfg.only_image and "encoder.embed_tokens_ner.weight" in sd:
+        enc["embed_tokens_ner"] = _embedding(sd, "encoder.embed_tokens_ner.weight")
+        enc["embed_positions_ner"] = _embedding(sd, "encoder.embed_positions_ner.weight")
+        enc["layernorm_embedding_ner"] = _layernorm(sd, "encoder.layernorm_embedding_ner")
+        enc["face_proj"] = _linear(sd, "encoder._linear_1")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # CLIP (OpenAI layout and HF layout)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,277 @@
+"""Command-line entry point.
+
+Replaces the reference's three argparse-heavy scripts + shell launchers
+(run_full_train.sh / run_onlyvis_train.sh; L0 in SURVEY §1) with subcommands
+over the typed config:
+
+  python -m vacnic_tpu.cli train --config full|onlyvis --data-dir ... --out-dir ...
+  python -m vacnic_tpu.cli generate --ckpt-dir ... --out ...
+  python -m vacnic_tpu.cli evaluate --results caption.json [--gtent dict.json]
+  python -m vacnic_tpu.cli smoke  # tiny end-to-end self-check, no data needed
+
+Any config field can be overridden with --set section.field=value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _apply_overrides(cfg, overrides: list[str]):
+    for item in overrides:
+        path, _, raw = item.partition("=")
+        section, _, field = path.partition(".")
+        sub = getattr(cfg, section)
+        old = getattr(sub, field)
+        if isinstance(old, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(old, int):
+            val = int(raw)
+        elif isinstance(old, float):
+            val = float(raw)
+        elif isinstance(old, tuple):
+            val = tuple(int(x) for x in raw.split(","))
+        else:
+            val = raw
+        cfg = dataclasses.replace(cfg, **{section: dataclasses.replace(sub, **{field: val})})
+    return cfg
+
+
+def _build_config(args) -> "VacnicConfig":
+    from vacnic_tpu.core.config import VacnicConfig
+
+    preset = {
+        "full": VacnicConfig.full_train,
+        "onlyvis": VacnicConfig.onlyvis_train,
+        "tiny": VacnicConfig.tiny,
+    }[args.config]
+    cfg = preset()
+    if getattr(args, "data_dir", None):
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, data_dir=args.data_dir))
+    return _apply_overrides(cfg, args.set or [])
+
+
+def cmd_smoke(args) -> int:
+    """Tiny synthetic end-to-end: init → 3 train steps → beam decode."""
+    import jax
+    import numpy as np
+
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.core.rng import set_random_seed
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.data.tokenize import HashWordTokenizer
+    from vacnic_tpu.models import bart as B, fusion as F
+    from vacnic_tpu.train.train_step import make_train_step
+    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+    import dataclasses as dc
+
+    cfg = VacnicConfig.tiny()
+    key = set_random_seed(cfg.train.seed)
+    params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
+    teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
+    init_fn, step_fn = make_train_step(cfg, 10)
+    state = init_fn(params, teacher, jax.random.fold_in(key, 2))
+    batch = synthetic_batch(cfg, 4)
+    step = jax.jit(step_fn)
+    for i in range(3):
+        state, m = step(state, batch)
+        print(f"step {i}: loss {float(m['loss']):.4f} txt {float(m['txt_loss']):.4f}")
+    dcfg = dc.replace(cfg.decode, num_beams=3, max_length=8)
+    seqs, _ = generate_mm(
+        state.params["model"], batch["article_ids"], create_mask(batch["article_ids"]),
+        batch["image_cls"], cfg.bart, cfg.fusion, dcfg,
+        face_features=batch["face_emb"], face_mask=face_mask_from_emb(batch["face_emb"]),
+        name_ids=batch["names_art_ids"], name_mask=create_mask(batch["names_art_ids"]),
+    )
+    tok = HashWordTokenizer(cfg.bart.vocab_size)
+    print("decoded:", [tok.decode(row) for row in np.asarray(seqs)])
+    print("smoke ok")
+    return 0
+
+
+def _make_loaders(cfg, tokenizer, split_paths, train: bool):
+    from vacnic_tpu.data.collate import collate
+    from vacnic_tpu.data.datasets import NewsCaptionDataset
+    from vacnic_tpu.data.pipeline import PrefetchLoader
+
+    loaders = []
+    for path, is_train in split_paths:
+        with open(path) as f:
+            data_dict = json.load(f)
+        ds = NewsCaptionDataset(
+            data_dict,
+            os.path.join(cfg.data.data_dir, cfg.data.dataset),
+            tokenizer,
+            dataset=cfg.data.dataset,
+            max_article_len=cfg.data.article_max_length,
+            max_ner_type_len=cfg.fusion.max_ner_type_len,
+            max_ner_type_len_gt=cfg.fusion.max_ner_type_len_gt,
+            retrieved_sent=cfg.data.use_retrieval,
+            train=is_train,
+        )
+        loaders.append(
+            PrefetchLoader(
+                ds,
+                cfg.train.train_batch_size if is_train else cfg.train.val_batch_size,
+                lambda s: collate(
+                    s, article_len=cfg.data.article_max_length,
+                    caption_len=cfg.data.caption_max_length,
+                    ner_len=cfg.fusion.max_ner_type_len,
+                    ner_len_gt=cfg.fusion.max_ner_type_len_gt,
+                    max_faces=cfg.fusion.max_faces,
+                    face_dim=cfg.fusion.face_feature_dim,
+                ),
+                shuffle=is_train,
+                num_workers=cfg.data.num_workers,
+            )
+        )
+    return loaders
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from vacnic_tpu.core.rng import set_random_seed
+    from vacnic_tpu.data.tokenize import BartBpeTokenizer
+    from vacnic_tpu.models import bart as B, fusion as F
+    from vacnic_tpu.train.loop import fit, generate_captions
+    from vacnic_tpu.train.train_step import make_train_step
+
+    cfg = _build_config(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    key = set_random_seed(cfg.train.seed)
+
+    tokenizer = BartBpeTokenizer(args.vocab, args.merges)
+    tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
+
+    # TODO(weights): load converted pretrained BART/CLIP when --init-ckpt given.
+    params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
+    teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
+
+    pattern = {
+        "goodnews": "GoodNews/{split}_dict_newsmep_ent_clip{n}sent_contras_name_pos.json",
+        "nytimes": "NYTimes/{split}_dict_newsmep_ent_seg_clip{n}sent_contras_name_pos.json",
+    }[cfg.data.dataset]
+    paths = [
+        os.path.join(cfg.data.data_dir, pattern.format(split=s, n=cfg.data.num_sentences))
+        for s in ("train", "val", "test")
+    ]
+    train_loader, val_loader, test_loader = _make_loaders(
+        cfg, tokenizer, [(paths[0], True), (paths[1], False), (paths[2], False)], True
+    )
+
+    steps_per_epoch = len(train_loader)
+    init_fn, step_fn = make_train_step(cfg, cfg.train.num_epochs * steps_per_epoch)
+    state = init_fn(params, teacher, jax.random.fold_in(key, 2))
+    state = fit(cfg, state, step_fn, train_loader, val_loader, args.out_dir,
+                max_steps=args.max_steps)
+
+    out = generate_captions(
+        cfg, {"model": state.params["model"]}, test_loader, tokenizer,
+        out_path=os.path.join(args.out_dir, "test_captions.json"),
+    )
+    print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from vacnic_tpu.data.tokenize import BartBpeTokenizer
+    from vacnic_tpu.models import bart as B, fusion as F
+    from vacnic_tpu.train.checkpoints import CheckpointManager
+    from vacnic_tpu.train.loop import generate_captions
+    from vacnic_tpu.train.train_step import make_train_step
+    import jax
+
+    cfg = CheckpointManager.load_config(args.ckpt_dir)
+    cfg = _apply_overrides(cfg, args.set or [])
+    key = jax.random.PRNGKey(cfg.decode.seed)
+    params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
+    teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
+    init_fn, _ = make_train_step(cfg, 1)
+    template = init_fn(params, teacher, key)
+    mgr = CheckpointManager(args.ckpt_dir)
+    state, step = mgr.restore(template)
+    print(f"restored checkpoint at step {step}", file=sys.stderr)
+
+    tokenizer = BartBpeTokenizer(args.vocab, args.merges)
+    tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
+    with open(args.data_dict) as f:
+        data_dict = json.load(f)
+    (loader,) = _make_loaders(cfg, tokenizer, [(args.data_dict, False)], False)
+    out = generate_captions(cfg, {"model": state.params["model"]}, loader, tokenizer,
+                            out_path=args.out)
+    print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from vacnic_tpu.eval.caption_metrics import compute_caption_metrics
+    from vacnic_tpu.eval.entity_eval import evaluate_entity, evaluate_entity_by_gtent
+    from vacnic_tpu.eval.face_groups import score_face_groups
+
+    with open(args.results) as f:
+        out_dict = json.load(f)
+    pairs = [(v["gen"], v["gt"]) for k, v in out_dict.items()
+             if k not in ("bleu", "other metrics")]
+    report = compute_caption_metrics(pairs)
+    if args.gtent:
+        with open(args.gtent) as f:
+            gtent = json.load(f)
+        report["entities"] = evaluate_entity_by_gtent(out_dict, gtent)
+    else:
+        report["entities"] = evaluate_entity(out_dict)
+    if args.data_dict:
+        with open(args.data_dict) as f:
+            data_dict = json.load(f)
+        report["face_groups"] = score_face_groups(out_dict, data_dict)
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vacnic_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("train", help="train the multimodal captioner")
+    sp.add_argument("--config", choices=["full", "onlyvis", "tiny"], default="full")
+    sp.add_argument("--data-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--vocab", required=True, help="BART vocab.json")
+    sp.add_argument("--merges", required=True, help="BART merges.txt")
+    sp.add_argument("--max-steps", type=int, default=None)
+    sp.add_argument("--set", action="append", metavar="sec.field=val")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("generate", help="beam-decode a split from a checkpoint")
+    sp.add_argument("--ckpt-dir", required=True)
+    sp.add_argument("--data-dict", required=True)
+    sp.add_argument("--vocab", required=True)
+    sp.add_argument("--merges", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--set", action="append")
+    sp.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("evaluate", help="score a caption-results JSON")
+    sp.add_argument("--results", required=True)
+    sp.add_argument("--gtent", default=None)
+    sp.add_argument("--data-dict", default=None)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("smoke", help="tiny synthetic end-to-end self-check")
+    sp.set_defaults(fn=cmd_smoke)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

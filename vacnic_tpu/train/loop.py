@@ -1,0 +1,149 @@
+"""Training orchestration: epoch loop, validation, best/last checkpoints,
+end-of-training caption generation + metrics.
+
+Rebuilds `train()` (train...match.py:451-477) and the in-trainer decode
+(`gen_caption_from_loader_bart`, :480-559): per-epoch train + val, save best
+checkpoint on min val loss and a rolling "last", dump val outputs, and after
+training decode the test set with beam search and attach
+BLEU/ROUGE/METEOR/CIDEr to the output JSON (`{step: {gt, gen}}` + "bleu" +
+"other metrics" — the exact format evaluate_entity.py consumes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vacnic_tpu.core.config import VacnicConfig
+from vacnic_tpu.core.logging import MetricsLogger, get_logger
+from vacnic_tpu.data.datasets import ascii_fold
+from vacnic_tpu.eval.caption_metrics import compute_caption_metrics
+from vacnic_tpu.infer.generate import generate_mm
+from vacnic_tpu.models.clip_vit import clip_vision_fwd
+from vacnic_tpu.train.checkpoints import CheckpointManager
+from vacnic_tpu.train.train_step import (
+    TrainState,
+    create_mask,
+    eval_step,
+    face_mask_from_emb,
+    make_train_step,
+)
+
+log = get_logger(__name__)
+
+
+def _device_feed(batch: dict[str, Any]) -> dict[str, Any]:
+    return {k: v for k, v in batch.items()
+            if not isinstance(v, (list, str))}
+
+
+def fit(
+    cfg: VacnicConfig,
+    state: TrainState,
+    step_fn,
+    train_loader: Iterable,
+    val_loader: Iterable,
+    out_dir: str,
+    *,
+    metrics: MetricsLogger | None = None,
+    max_steps: int | None = None,
+) -> TrainState:
+    metrics = metrics or MetricsLogger(out_dir)
+    ckpt_best = CheckpointManager(os.path.join(out_dir, "best"), cfg, max_to_keep=1)
+    ckpt_last = CheckpointManager(os.path.join(out_dir, "last"), cfg, max_to_keep=2)
+    jit_step = jax.jit(step_fn, donate_argnums=0)
+    jit_eval = jax.jit(lambda p, b: eval_step(p, b, cfg))
+
+    min_val = float("inf")
+    steps = 0
+    for epoch in range(cfg.train.num_epochs):
+        t0 = time.time()
+        for batch in train_loader:
+            state, m = jit_step(state, _device_feed(batch))
+            steps += 1
+            metrics.log({k: v for k, v in m.items()}, step=steps)
+            if max_steps is not None and steps >= max_steps:
+                break
+
+        # ---- validation (eval_epoch :389-448): txt loss + greedy text dump --
+        val_losses, out_dict = [], {}
+        for vstep, batch in enumerate(val_loader):
+            m = jit_eval({"model": state.params["model"], "clip": state.params.get("clip")},
+                         _device_feed(batch))
+            val_losses.append(float(m["val_loss"]))
+            out_dict[vstep] = {"gt_cap": batch.get("caption", [])}
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        metrics.log({"val_loss": val_loss, "epoch": epoch})
+        log.info("epoch %d: val_loss %.4f (%.1fs)", epoch, val_loss, time.time() - t0)
+
+        ckpt_last.save(steps, state, {"val_loss": val_loss})
+        if val_loss < min_val:
+            min_val = val_loss
+            ckpt_best.save(steps, state, {"val_loss": val_loss})
+            with open(os.path.join(out_dir, "val_outputs.json"), "w") as f:
+                json.dump(out_dict, f)
+            metrics.log({"min val loss": min_val})
+        if max_steps is not None and steps >= max_steps:
+            break
+    ckpt_best.wait()
+    ckpt_last.wait()
+    return state
+
+
+def generate_captions(
+    cfg: VacnicConfig,
+    params: dict,
+    loader: Iterable,
+    tokenizer,
+    *,
+    out_path: str | None = None,
+    compute_metrics: bool = True,
+) -> dict:
+    """Beam-decode a loader → `{step: {gt, gen}}` (+ metrics) JSON
+    (gen_caption_from_loader_bart, train...match.py:480-559)."""
+    out_dict: dict[Any, Any] = {}
+    step_idx = 0
+    compute_dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    for batch in loader:
+        feed = _device_feed(batch)
+        src_ids = feed["article_ids"]
+        if "image_cls" in feed:
+            img_cls = feed["image_cls"]
+        else:
+            _, img_cls = clip_vision_fwd(params["clip"], feed["pixels"], cfg.clip, compute_dtype)
+        kwargs = {}
+        if not cfg.fusion.only_image:
+            kwargs = dict(
+                face_features=feed["face_emb"],
+                face_mask=face_mask_from_emb(feed["face_emb"]),
+                name_ids=feed["names_art_ids"],
+                name_mask=create_mask(feed["names_art_ids"]),
+            )
+        seqs, _ = generate_mm(
+            params["model"], src_ids, create_mask(src_ids), img_cls,
+            cfg.bart, cfg.fusion, cfg.decode, dtype=compute_dtype, **kwargs,
+        )
+        seqs = np.asarray(seqs)
+        gts = batch.get("caption", [""] * seqs.shape[0])
+        for i in range(seqs.shape[0]):
+            gen = tokenizer.decode(seqs[i], skip_special_tokens=True)
+            out_dict[step_idx] = {
+                "gt": ascii_fold(gts[i]),
+                "gen": ascii_fold(gen),
+            }
+            step_idx += 1
+
+    if compute_metrics and out_dict:
+        pairs = [(v["gen"], v["gt"]) for v in out_dict.values()]
+        out_dict.update(compute_caption_metrics(pairs))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out_dict, f)
+    return out_dict

@@ -58,6 +58,8 @@ def retrieve_sentences(
     segments = split_sentences(article)
     if not segments:
         return article
+    params_context_length = text_params["positional_embedding"].shape[0]
+    context_length = min(context_length, params_context_length)
     ids = np.zeros((len(segments), context_length), np.int32)
     for i, s in enumerate(segments):
         row = clip_tokenizer.encode(s, max_length=context_length)

@@ -67,10 +67,20 @@ class HeuristicNER:
     _ORG_HINTS = ("Inc", "Corp", "Company", "Committee", "University", "Department",
                   "Association", "Agency", "Council", "Party", "Bank", "Group", "Times")
 
+    def __init__(self, lowercase: bool = True):
+        # eval compares lower-cased surfaces (reference get_entities,
+        # evaluate_entity.py:24-31); PREPROCESSING must keep the original case
+        # so token-span replacement can find the surface form in the text
+        # (dataset-side get_entities, goodnews...py:718-728) — pass False there.
+        self.lowercase = lowercase
+
+    def _case(self, s: str) -> str:
+        return s.lower() if self.lowercase else s
+
     def __call__(self, text: str):
         ents: list[dict] = []
         for m in _DATE_RE.finditer(text):
-            ents.append({"text": m.group(0).lower(), "label": "DATE"})
+            ents.append({"text": self._case(m.group(0)), "label": "DATE"})
         body = _DATE_RE.sub(" ", text)
         propn: list[str] = []
         for m in _CAP_SPAN.finditer(body):
@@ -88,7 +98,7 @@ class HeuristicNER:
                 label = "PERSON"
             else:
                 label = "GPE"
-            ents.append({"text": span.lower(), "label": label})
+            ents.append({"text": self._case(span), "label": label})
         return ents, propn
 
 

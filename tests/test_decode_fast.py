@@ -1,0 +1,48 @@
+"""Fast decode path numerics: per-step logits must match the general
+models/bart cached decoder exactly (fp32)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vacnic_tpu.core.config import BartConfig
+from vacnic_tpu.infer import decode_fast as DF
+from vacnic_tpu.models import bart as B
+from vacnic_tpu.models.layers import expand_mask
+
+TINY = BartConfig.tiny()
+
+
+def test_decode_fast_matches_reference_path(rng):
+    params = B.bart_init(jax.random.PRNGKey(3), TINY)
+    bsz, src, tgt = 3, 11, 6
+    src_ids = rng.randint(4, TINY.vocab_size, size=(bsz, src))
+    src_ids[0, -2:] = 1
+    mask = jnp.asarray((src_ids != 1).astype(np.int32))
+    tgt_ids = rng.randint(4, TINY.vocab_size, size=(bsz, tgt)).astype(np.int32)
+
+    enc = B.encoder_fwd(params, jnp.asarray(src_ids), mask, TINY)
+
+    # reference: general cached path
+    ref_cache = B.init_cache(params, bsz, tgt, enc, TINY)
+    ref_logits = []
+    for t in range(tgt):
+        dec_h, ref_cache = B.decoder_fwd(
+            params, jnp.asarray(tgt_ids[:, t : t + 1]), enc, mask, TINY,
+            cache=ref_cache, cache_index=jnp.int32(t),
+        )
+        ref_logits.append(np.asarray(B.lm_logits(params, dec_h)[:, 0]))
+
+    # fast path (fp32 to compare exactly; num_beams=1 → B·K == B)
+    dp = DF.build_decode_params(params, jnp.float32)
+    cache = DF.build_decode_cache(params, enc, 1, tgt, TINY, jnp.float32)
+    enc_bias = expand_mask(mask, 1)
+    for t in range(tgt):
+        logits, cache = DF.decode_step(
+            dp, params, cache, jnp.asarray(tgt_ids[:, t : t + 1]), jnp.int32(t),
+            enc_bias, TINY, jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), ref_logits[t], atol=2e-4, rtol=2e-4,
+            err_msg=f"step {t}",
+        )

@@ -104,6 +104,7 @@ def beam_search(
     decoder_start_token_id: int,
     forced_bos_token_id: int | None,
     vocab_size: int,
+    reorder_cache_fn=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run beam search. `step_fn(tokens[BK,1], cache, pos) → (logits[BK,V], cache)`.
 
@@ -205,13 +206,16 @@ def beam_search(
         # cross-attn KV is beam-invariant; reordering it is a no-op we skip)
         flat_sel = (jnp.arange(b)[:, None] * k + sel_beam).reshape(-1)  # [BK]
 
-        def reorder(path, leaf):
-            names = [str(p.key) for p in path if hasattr(p, "key")]
-            if "cross" in names:
-                return leaf
-            return jnp.take(leaf, flat_sel, axis=0)
+        if reorder_cache_fn is not None:
+            new_cache = reorder_cache_fn(new_cache, flat_sel)
+        else:
+            def reorder(path, leaf):
+                names = [str(p.key) for p in path if hasattr(p, "key")]
+                if "cross" in names:
+                    return leaf
+                return jnp.take(leaf, flat_sel, axis=0)
 
-        new_cache = jax.tree_util.tree_map_with_path(reorder, new_cache)
+            new_cache = jax.tree_util.tree_map_with_path(reorder, new_cache)
 
         # ----- done bookkeeping -------------------------------------------
         all_fin = jnp.all(finished_flags, axis=1)

@@ -1,0 +1,236 @@
+"""Fast decode path: the per-step decoder specialized for generation.
+
+The general models/bart.decoder_fwd is built for training readability; at
+decode time its step is bandwidth-catastrophic on TPU:
+
+  * cross-attention K/V were expanded across beams — 5× redundant HBM traffic
+    (the KV is identical for all beams of a batch item);
+  * K/V cached as [..., S, head_dim=64] — the TPU (8,128) tile pads the
+    64-wide last dim to 128, doubling every cache read (observed "2.0x
+    expansion" in XLA's allocation dump);
+  * 24 separate per-layer cache gathers per beam reorder and 3 separate
+    q/k/v matmuls per layer.
+
+This module restructures the step for the hardware:
+
+  * cross K/V stored once per batch item as [L, B, S, D] (D = H·hd = 1024,
+    lane-aligned); beams enter via a reshape of q — per-step cross reads drop
+    from ~8 GB to ~0.8 GB for batch 32 / beam 5 / S 512;
+  * self cache as [L, B·K, T, D] (lane-aligned, no tile padding), ONE gather
+    per tensor on beam reorder;
+  * fused [d, 3d] QKV matmul; `lax.scan` over stacked layers; LM head on
+    [B·K, d].
+
+Numerics are identical to the reference path (tests/test_decode_fast.py pins
+per-step logits against models/bart.decoder_fwd).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vacnic_tpu.core.config import BartConfig
+from vacnic_tpu.models.bart import POS_OFFSET
+from vacnic_tpu.models.layers import ACT2FN, Params, layernorm
+
+
+class DecodeParams(NamedTuple):
+    """Stacked per-layer decoder weights [n_layers, ...]."""
+
+    w_qkv: jax.Array  # [L, d, 3d]
+    b_qkv: jax.Array  # [L, 3d]
+    w_self_out: jax.Array  # [L, d, d]
+    b_self_out: jax.Array  # [L, d]
+    ln_self: jax.Array  # [L, 2, d] (scale, bias)
+    w_cross_q: jax.Array  # [L, d, d]
+    b_cross_q: jax.Array  # [L, d]
+    w_cross_out: jax.Array  # [L, d, d]
+    b_cross_out: jax.Array  # [L, d]
+    ln_cross: jax.Array  # [L, 2, d]
+    w_fc1: jax.Array  # [L, d, ffn]
+    b_fc1: jax.Array  # [L, ffn]
+    w_fc2: jax.Array  # [L, ffn, d]
+    b_fc2: jax.Array  # [L, d]
+    ln_final: jax.Array  # [L, 2, d]
+
+
+class DecodeCache(NamedTuple):
+    self_k: jax.Array  # [L, B·K, T, D]
+    self_v: jax.Array  # [L, B·K, T, D]
+    cross_k: jax.Array  # [L, B, S, D] — beam-invariant, never reordered
+    cross_v: jax.Array  # [L, B, S, D]
+
+
+def _stack(layers, *path):
+    def leaf(p):
+        x = p
+        for key in path:
+            x = x[key]
+        return x
+
+    return jnp.stack([leaf(p) for p in layers])
+
+
+def build_decode_params(params: Params, dtype=jnp.bfloat16) -> DecodeParams:
+    layers = params["decoder"]["layers"]
+
+    def ln(name):
+        return jnp.stack(
+            [jnp.stack([p[name]["scale"], p[name]["bias"]]) for p in layers]
+        ).astype(jnp.float32)
+
+    w_qkv = jnp.concatenate(
+        [
+            _stack(layers, "self_attn", "q_proj", "kernel"),
+            _stack(layers, "self_attn", "k_proj", "kernel"),
+            _stack(layers, "self_attn", "v_proj", "kernel"),
+        ],
+        axis=-1,
+    ).astype(dtype)
+    b_qkv = jnp.concatenate(
+        [
+            _stack(layers, "self_attn", "q_proj", "bias"),
+            _stack(layers, "self_attn", "k_proj", "bias"),
+            _stack(layers, "self_attn", "v_proj", "bias"),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    return DecodeParams(
+        w_qkv=w_qkv,
+        b_qkv=b_qkv,
+        w_self_out=_stack(layers, "self_attn", "out_proj", "kernel").astype(dtype),
+        b_self_out=_stack(layers, "self_attn", "out_proj", "bias").astype(jnp.float32),
+        ln_self=ln("self_attn_layer_norm"),
+        w_cross_q=_stack(layers, "encoder_attn", "q_proj", "kernel").astype(dtype),
+        b_cross_q=_stack(layers, "encoder_attn", "q_proj", "bias").astype(jnp.float32),
+        w_cross_out=_stack(layers, "encoder_attn", "out_proj", "kernel").astype(dtype),
+        b_cross_out=_stack(layers, "encoder_attn", "out_proj", "bias").astype(jnp.float32),
+        ln_cross=ln("encoder_attn_layer_norm"),
+        w_fc1=_stack(layers, "fc1", "kernel").astype(dtype),
+        b_fc1=_stack(layers, "fc1", "bias").astype(jnp.float32),
+        w_fc2=_stack(layers, "fc2", "kernel").astype(dtype),
+        b_fc2=_stack(layers, "fc2", "bias").astype(jnp.float32),
+        ln_final=ln("final_layer_norm"),
+    )
+
+
+def build_decode_cache(
+    params: Params,
+    enc_out: jax.Array,  # [B, S, d] — NOT beam-expanded
+    num_beams: int,
+    max_len: int,
+    cfg: BartConfig,
+    dtype=jnp.bfloat16,
+) -> DecodeCache:
+    """Cross K/V computed once per batch item; self cache zero-initialized at
+    batch·beams."""
+    layers = params["decoder"]["layers"]
+    b, s, d = enc_out.shape
+
+    wk = _stack(layers, "encoder_attn", "k_proj", "kernel").astype(dtype)  # [L, d, d]
+    bk = _stack(layers, "encoder_attn", "k_proj", "bias").astype(jnp.float32)
+    wv = _stack(layers, "encoder_attn", "v_proj", "kernel").astype(dtype)
+    bv = _stack(layers, "encoder_attn", "v_proj", "bias").astype(jnp.float32)
+
+    def project(w, bias):
+        x = jnp.einsum("bsd,lde->lbse", enc_out.astype(dtype), w,
+                       preferred_element_type=jnp.float32) + bias[:, None, None, :]
+        return x.astype(dtype)
+
+    n_layers = len(layers)
+    return DecodeCache(
+        self_k=jnp.zeros((n_layers, b * num_beams, max_len, d), dtype),
+        self_v=jnp.zeros((n_layers, b * num_beams, max_len, d), dtype),
+        cross_k=project(wk, bk),
+        cross_v=project(wv, bv),
+    )
+
+
+def _ln(p: jax.Array, x: jax.Array) -> jax.Array:
+    return layernorm({"scale": p[0], "bias": p[1]}, x)
+
+
+def decode_step(
+    dp: DecodeParams,
+    params: Params,
+    cache: DecodeCache,
+    tok: jax.Array,  # [B·K, 1] int32
+    pos: jax.Array,  # scalar position index
+    enc_mask_bias: jax.Array,  # additive [B, 1, 1, S]
+    cfg: BartConfig,
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, DecodeCache]:
+    """One decoder step over all layers → (logits [B·K, V], new cache)."""
+    h_heads = cfg.decoder_attention_heads
+    hd = cfg.head_dim
+    d = cfg.d_model
+    act = ACT2FN[cfg.activation_function]
+    bk_total = tok.shape[0]
+    batch = cache.cross_k.shape[1]
+    k_beams = bk_total // batch
+    T_max = cache.self_k.shape[2]
+
+    dec = params["decoder"]
+    x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(dtype)
+    scale = float(d) ** 0.5 if cfg.scale_embedding else 1.0
+    x = x * scale + jnp.take(dec["embed_positions"]["weight"], pos + POS_OFFSET, axis=0).astype(dtype)
+    x = layernorm(dec["layernorm_embedding"], x)  # [B·K, d]
+
+    t_idx = jnp.arange(T_max)
+    self_bias = jnp.where(t_idx <= pos, 0.0, jnp.finfo(jnp.float32).min)  # [T]
+    scaling = hd**-0.5
+
+    def layer(x, inputs):
+        (w_qkv, b_qkv, w_so, b_so, ln_s, w_cq, b_cq, w_co, b_co, ln_c,
+         w1, b1, w2, b2, ln_f, k_cache, v_cache, ck, cv) = inputs
+        residual = x
+        qkv = (jnp.dot(x, w_qkv, preferred_element_type=jnp.float32) + b_qkv).astype(dtype)
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)  # [B·K, d] each
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[:, None, :], (0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[:, None, :], (0, pos, 0))
+        qh = (q * scaling).reshape(bk_total, h_heads, hd)
+        s = jnp.einsum("bhd,bthd->bht", qh, k_cache.reshape(bk_total, T_max, h_heads, hd),
+                       preferred_element_type=jnp.float32)
+        s = s + self_bias[None, None, :]
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bht,bthd->bhd", p, v_cache.reshape(bk_total, T_max, h_heads, hd),
+                       preferred_element_type=jnp.float32)
+        o = o.astype(dtype).reshape(bk_total, d)
+        o = (jnp.dot(o, w_so, preferred_element_type=jnp.float32) + b_so).astype(dtype)
+        x = _ln(ln_s, residual + o)
+
+        # cross-attention: KV is beam-invariant [B, S, D]; fold beams into q
+        residual = x
+        q = ((jnp.dot(x, w_cq, preferred_element_type=jnp.float32) + b_cq).astype(dtype)
+             * scaling)
+        qh = q.reshape(batch, k_beams, h_heads, hd)
+        S = ck.shape[1]
+        s = jnp.einsum("bkhd,bshd->bkhs", qh, ck.reshape(batch, S, h_heads, hd),
+                       preferred_element_type=jnp.float32)
+        s = s + enc_mask_bias[:, 0, 0, :][:, None, None, :]  # [B,1,1,S] pad bias
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bkhs,bshd->bkhd", p, cv.reshape(batch, S, h_heads, hd),
+                       preferred_element_type=jnp.float32)
+        o = o.astype(dtype).reshape(bk_total, d)
+        o = (jnp.dot(o, w_co, preferred_element_type=jnp.float32) + b_co).astype(dtype)
+        x = _ln(ln_c, residual + o)
+
+        residual = x
+        hmid = act(jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1).astype(dtype)
+        o = (jnp.dot(hmid, w2, preferred_element_type=jnp.float32) + b2).astype(dtype)
+        x = _ln(ln_f, residual + o)
+        return x, (k_cache, v_cache)
+
+    xs = (dp.w_qkv, dp.b_qkv, dp.w_self_out, dp.b_self_out, dp.ln_self,
+          dp.w_cross_q, dp.b_cross_q, dp.w_cross_out, dp.b_cross_out, dp.ln_cross,
+          dp.w_fc1, dp.b_fc1, dp.w_fc2, dp.b_fc2, dp.ln_final,
+          cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    x, (new_k, new_v) = jax.lax.scan(layer, x, xs)
+
+    w_lm = params["shared"]["weight"].astype(dtype)
+    logits = jnp.dot(x, w_lm.T, preferred_element_type=jnp.float32)
+    logits = logits + params["final_logits_bias"].astype(jnp.float32)
+    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)

@@ -29,18 +29,29 @@ def _expand_to_beams(x: jax.Array, k: int) -> jax.Array:
 def _decode_from_encoder(
     params, enc_hidden, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype
 ):
+    from vacnic_tpu.infer import decode_fast as DF
+    from vacnic_tpu.models.layers import expand_mask
+
     bsz = enc_hidden.shape[0]
     k = dcfg.num_beams
-    enc_hidden_x = _expand_to_beams(enc_hidden, k)
-    mask_x = _expand_to_beams(attention_mask, k)
-    cache = B.init_cache(params, bsz * k, dcfg.max_length, enc_hidden_x, cfg, dtype)
+
+    dp = DF.build_decode_params(params, dtype)
+    # cross K/V stays at batch level (beam-invariant); only q sees the beams
+    cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype)
+    enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
     def step_fn(tok, cache, pos):
-        dec_h, cache = B.decoder_fwd(
-            params, tok, enc_hidden_x, mask_x, cfg, dtype=dtype, cache=cache, cache_index=pos
+        return DF.decode_step(dp, params, cache, tok, pos, enc_bias, cfg, dtype)
+
+    def reorder_cache_fn(cache, flat_sel):
+        # stacked-layer cache: one gather per tensor on the batch·beam axis;
+        # cross K/V is beam-invariant (HF `_reorder_cache` reorders self only)
+        return DF.DecodeCache(
+            self_k=jnp.take(cache.self_k, flat_sel, axis=1),
+            self_v=jnp.take(cache.self_v, flat_sel, axis=1),
+            cross_k=cache.cross_k,
+            cross_v=cache.cross_v,
         )
-        logits = B.lm_logits(params, dec_h)[:, 0, :]
-        return logits, cache
 
     return beam_search(
         step_fn,
@@ -52,6 +63,7 @@ def _decode_from_encoder(
         decoder_start_token_id=cfg.decoder_start_token_id,
         forced_bos_token_id=cfg.forced_bos_token_id,
         vocab_size=params["shared"]["weight"].shape[0],
+        reorder_cache_fn=reorder_cache_fn,
     )
 
 

@@ -82,6 +82,7 @@ class NewsCaptionDataset:
         image_size: int = 224,
         clip_tokenizer=None,
         seed: int = 0,
+        raw_mode: bool = False,
     ):
         layout = self.LAYOUTS[dataset]
         self.data_dict = data_dict
@@ -102,6 +103,10 @@ class NewsCaptionDataset:
         self.train = train
         self.image_size = image_size
         self._rng = np.random.RandomState(seed)
+        # raw_mode: the LMM-prompting dataset variant (SURVEY §0.1,
+        # src.data.dataset_entity_type_newsmep_blip): raw PIL image + raw
+        # article text, no tensorization.
+        self.raw_mode = raw_mode
 
     def __len__(self) -> int:
         return len(self.hash_ids)
@@ -109,6 +114,19 @@ class NewsCaptionDataset:
     def __getitem__(self, index: int) -> dict[str, Any]:
         hash_id = self.hash_ids[index]
         rec = self.data_dict[hash_id]
+
+        if self.raw_mode:
+            from PIL import Image
+
+            article = (
+                rec["sents_byclip"] if self.retrieved_sent
+                else open(os.path.join(self.article_dir, f"{hash_id}.txt")).read()
+            )
+            return {
+                "article": article,
+                "caption": ascii_fold(rec["caption"]),
+                "raw_img": Image.open(os.path.join(self.img_dir, f"{hash_id}.jpg")).convert("RGB"),
+            }
 
         # --- image / faces / objects (goodnews...py:549-560) ----------------
         pixels = load_image(

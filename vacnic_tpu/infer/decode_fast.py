@@ -60,8 +60,12 @@ class DecodeParams(NamedTuple):
 class DecodeCache(NamedTuple):
     self_k: jax.Array  # [L, B·K, T, D]
     self_v: jax.Array  # [L, B·K, T, D]
-    cross_k: jax.Array  # [L, B, S, D] — beam-invariant, never reordered
-    cross_v: jax.Array  # [L, B, S, D]
+    # Cross K/V in [L, B, H, hd, S]: both attention contractions (over hd for
+    # scores, over S for values) hit the native (sublane, lane) = (hd, S) tile
+    # with zero padding — the [..., S, hd=64] layout pads 2× and forces a
+    # relayout copy per layer per step.
+    cross_k: jax.Array  # [L, B, H, hd, S] — beam-invariant, never reordered
+    cross_v: jax.Array  # [L, B, H, hd, S]
 
 
 def _stack(layers, *path):
@@ -135,10 +139,14 @@ def build_decode_cache(
     wv = _stack(layers, "encoder_attn", "v_proj", "kernel").astype(dtype)
     bv = _stack(layers, "encoder_attn", "v_proj", "bias").astype(jnp.float32)
 
+    h = cfg.decoder_attention_heads
+    hd = cfg.head_dim
+
     def project(w, bias):
         x = jnp.einsum("bsd,lde->lbse", enc_out.astype(dtype), w,
                        preferred_element_type=jnp.float32) + bias[:, None, None, :]
-        return x.astype(dtype)
+        x = x.astype(dtype).reshape(-1, b, s, h, hd)
+        return x.transpose(0, 1, 3, 4, 2)  # [L, B, H, hd, S]
 
     n_layers = len(layers)
     return DecodeCache(
@@ -202,18 +210,15 @@ def decode_step(
         o = (jnp.dot(o, w_so, preferred_element_type=jnp.float32) + b_so).astype(dtype)
         x = _ln(ln_s, residual + o)
 
-        # cross-attention: KV is beam-invariant [B, S, D]; fold beams into q
+        # cross-attention: KV is beam-invariant [B, H, hd, S]; fold beams into q
         residual = x
         q = ((jnp.dot(x, w_cq, preferred_element_type=jnp.float32) + b_cq).astype(dtype)
              * scaling)
         qh = q.reshape(batch, k_beams, h_heads, hd)
-        S = ck.shape[1]
-        s = jnp.einsum("bkhd,bshd->bkhs", qh, ck.reshape(batch, S, h_heads, hd),
-                       preferred_element_type=jnp.float32)
+        s = jnp.einsum("bkhd,bhds->bkhs", qh, ck, preferred_element_type=jnp.float32)
         s = s + enc_mask_bias[:, 0, 0, :][:, None, None, :]  # [B,1,1,S] pad bias
         p = jax.nn.softmax(s, axis=-1).astype(dtype)
-        o = jnp.einsum("bkhs,bshd->bkhd", p, cv.reshape(batch, S, h_heads, hd),
-                       preferred_element_type=jnp.float32)
+        o = jnp.einsum("bkhs,bhds->bkhd", p, cv, preferred_element_type=jnp.float32)
         o = o.astype(dtype).reshape(bk_total, d)
         o = (jnp.dot(o, w_co, preferred_element_type=jnp.float32) + b_co).astype(dtype)
         x = _ln(ln_c, residual + o)

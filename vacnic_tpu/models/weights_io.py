@@ -22,8 +22,39 @@ Params = dict[str, Any]
 def _t(x) -> np.ndarray:
     """torch tensor / ndarray → float32 ndarray (detached)."""
     if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
+        x = x.detach().float().cpu().numpy()  # .float() handles torch bf16/fp16
     return np.asarray(x, dtype=np.float32)
+
+
+def load_state_dict(path: str) -> dict[str, Any]:
+    """Load a checkpoint file into a flat state dict: supports HF safetensors
+    (model.safetensors), torch .bin/.pt (pytorch_model.bin,
+    the reference's pickled `torch.save(model)` checkpoints — in that case the
+    module's state_dict is extracted), or a directory containing either."""
+    import os
+
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(f"no checkpoint file in {path}")
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="numpy") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):  # whole pickled module (reference format)
+        obj = obj.state_dict()
+    return obj
 
 
 def _linear(sd: Mapping[str, Any], prefix: str) -> Params:

@@ -140,7 +140,8 @@ def compute_losses(
                 face_mask=face_mask_from_emb(batch["face_emb"]),
                 name_ids=flat_ids, name_mask=flat_mask, add_ner_ffn=False, dtype=dtype,
             )
-            logit_scale = jnp.exp(params["clip"].get("logit_scale", jnp.log(jnp.float32(100.0))))
+            clip_p = params.get("clip") or {}
+            logit_scale = jnp.exp(clip_p.get("logit_scale", jnp.log(jnp.float32(100.0))))
             fn_loss = L.face_name_infonce(
                 out["hidden_states_face"].astype(jnp.float32),
                 face_mask_from_emb(batch["face_emb"]),

@@ -72,6 +72,9 @@ class BartBpeTokenizer:
         self.unk_token_id = self.encoder.get("<unk>", 3)
         self.added_tokens: dict[str, int] = {}
         self._added_pattern: re.Pattern | None = None
+        self._native = None
+        self._native_tried = False
+        self._ids_cache: dict[str, list[int]] = {}
 
     def __len__(self) -> int:
         return len(self.encoder) + len(self.added_tokens)
@@ -121,13 +124,63 @@ class BartBpeTokenizer:
         self._bpe_cache[token] = out
         return out
 
+    # -- native merge engine (vacnic_tpu/runtime: C BPE loop via ctypes) ----
+    def _get_native(self):
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        try:
+            import numpy as np
+
+            from vacnic_tpu.runtime.native import FastBpe
+
+            keys, ranks, merged = [], [], []
+            for (x, y), r in self.bpe_ranks.items():
+                a, b, m = self.encoder.get(x), self.encoder.get(y), self.encoder.get(x + y)
+                if a is None or b is None or m is None:
+                    continue
+                keys.append((a << 32) | b)
+                ranks.append(r)
+                merged.append(m)
+            eng = FastBpe(np.asarray(keys, np.uint64), np.asarray(ranks, np.int32),
+                          np.asarray(merged, np.int32))
+            self._native = eng if eng.available else None
+        except Exception:
+            self._native = None
+        return self._native
+
+    def _encode_pretoken_py(self, tok: str) -> list[int]:
+        tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+        return [self.encoder.get(p, self.unk_token_id) for p in self._bpe(tok_bytes).split(" ")]
+
     def _encode_text(self, text: str) -> list[int]:
-        ids: list[int] = []
-        for tok in _GPT2_SPLIT.findall(text):
-            tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            for piece in self._bpe(tok_bytes).split(" "):
-                ids.append(self.encoder.get(piece, self.unk_token_id))
-        return ids
+        """Per-word id cache fronts both paths; the native C merge engine
+        (vacnic_tpu/runtime) handles all cache misses of a text in one batch
+        call, the Python loop is the no-compiler fallback."""
+        pretokens = _GPT2_SPLIT.findall(text)
+        cache = self._ids_cache
+        native = self._get_native()
+
+        misses: list[str] = []
+        if native is not None:
+            miss_words = []
+            for tok in set(t for t in pretokens if t not in cache):
+                word_ids = [self.encoder.get(self.byte_encoder[b]) for b in tok.encode("utf-8")]
+                if any(i is None for i in word_ids):
+                    cache[tok] = self._encode_pretoken_py(tok)
+                else:
+                    misses.append(tok)
+                    miss_words.append(word_ids)
+            for tok, ids in zip(misses, native.encode_words(miss_words)):
+                cache[tok] = ids
+
+        out: list[int] = []
+        for tok in pretokens:
+            ids = cache.get(tok)
+            if ids is None:
+                ids = cache[tok] = self._encode_pretoken_py(tok)
+            out.extend(ids)
+        return out
 
     def encode(self, text: str, max_length: int | None = None,
                add_special_tokens: bool = True) -> list[int]:

@@ -204,12 +204,18 @@ def compute_caption_metrics(pairs: Iterable[tuple[str, str]]) -> dict:
         rouges.append(rouge_l(gen, [gt]))
         hyps.append(gen)
         refs.append([gt])
+    from vacnic_tpu.eval.meteor_py import meteor_corpus
+
     b = bleu.compute()
     return {
         "bleu": {"bleu1": b[0], "bleu2": b[1], "bleu3": b[2], "bleu4": b[3]},
         "other metrics": {
             "rouge": sum(rouges) / len(rouges) if rouges else 0.0,
+            # jar-based METEOR when available; None otherwise — never silently
+            # substituted by the python variant below
             "meteor": meteor_score(hyps, refs),
+            # always-available pure-python METEOR (exact+stem; see meteor_py)
+            "meteor_py": meteor_corpus([(h, r[0]) for h, r in zip(hyps, refs)]),
             "cider": cider.compute(),
         },
     }

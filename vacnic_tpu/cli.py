@@ -149,9 +149,46 @@ def cmd_train(args) -> int:
     tokenizer = BartBpeTokenizer(args.vocab, args.merges)
     tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
 
-    # TODO(weights): load converted pretrained BART/CLIP when --init-ckpt given.
     params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
+    if args.init_bart:
+        # converted pretrained BART (.npz from scripts/convert_checkpoint.py):
+        # seeds shared/encoder/decoder of both the multimodal model and the
+        # frozen CoLaM teacher; fusion members keep their fresh init.
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "convert_checkpoint",
+            os.path.join(os.path.dirname(__file__), "..", "scripts", "convert_checkpoint.py"),
+        )
+        cc = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(cc)
+        pretrained = cc.load_tree(args.init_bart)
+        teacher = pretrained
+        m = params["model"]
+        m["shared"] = pretrained["shared"]
+        m["final_logits_bias"] = pretrained["final_logits_bias"]
+        for side in ("encoder", "decoder"):
+            for k, v in pretrained[side].items():
+                if k == "layers":
+                    m[side]["layers"] = tuple(
+                        {**ours, **theirs} for ours, theirs in zip(m[side]["layers"], v)
+                    )
+                else:
+                    m[side][k] = v
+        # NER table re-seeded from the pretrained shared rows (model :1150-1151)
+        if "embed_tokens_ner" in m["encoder"]:
+            import jax.numpy as jnp
+
+            ner_w = m["encoder"]["embed_tokens_ner"]["weight"]
+            shared_w = jnp.asarray(pretrained["shared"]["weight"])
+            n = min(ner_w.shape[0], shared_w.shape[0], 50265)
+            m["encoder"]["embed_tokens_ner"] = {"weight": ner_w.at[:n].set(shared_w[:n])}
+
+    if cfg.train.perturb_bos:
+        from vacnic_tpu.train.train_step import perturb_bos
+
+        params["model"] = perturb_bos(params["model"], jax.random.fold_in(key, 7))
 
     pattern = {
         "goodnews": "GoodNews/{split}_dict_newsmep_ent_clip{n}sent_contras_name_pos.json",
@@ -168,6 +205,12 @@ def cmd_train(args) -> int:
     steps_per_epoch = len(train_loader)
     init_fn, step_fn = make_train_step(cfg, cfg.train.num_epochs * steps_per_epoch)
     state = init_fn(params, teacher, jax.random.fold_in(key, 2))
+    if args.resume:
+        from vacnic_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(os.path.join(args.out_dir, "last"))
+        state, at = mgr.restore(state)
+        print(f"resumed from step {at}", file=sys.stderr)
     state = fit(cfg, state, step_fn, train_loader, val_loader, args.out_dir,
                 max_steps=args.max_steps)
 
@@ -236,6 +279,44 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_lmm(args) -> int:
+    """LMM zero-shot prompting over a split (test_*_prompt.py equivalents)."""
+    from vacnic_tpu.lmm import prompting as P
+
+    backends = {
+        "echo": P.EchoBackend,
+        "instructblip": P.InstructBlipBackend,
+        "llava": P.LlavaBackend,
+    }
+    backend = backends[args.backend]()
+    with open(args.data_dict) as f:
+        data_dict = json.load(f)
+    from vacnic_tpu.data.datasets import NewsCaptionDataset
+
+    ds = NewsCaptionDataset(
+        data_dict, args.data_base_dir, tokenizer=None, dataset=args.dataset,
+        retrieved_sent=args.use_retrieval, raw_mode=True,
+    )
+    def loader():
+        bs = args.batch_size
+        for i in range(0, len(ds), bs):
+            samples = [ds[j] for j in range(i, min(i + bs, len(ds)))]
+            yield {
+                "article": [s["article"] for s in samples],
+                "caption": [s["caption"] for s in samples],
+                "raw_img": [s["raw_img"] for s in samples],
+            }
+
+    out = P.prompt_captions(backend, loader(), use_retrieval=args.use_retrieval,
+                            out_path=args.out)
+    flat = P.flatten_for_scoring(out)
+    from vacnic_tpu.eval.caption_metrics import compute_caption_metrics
+
+    m = compute_caption_metrics([(v["gen"], v["gt"]) for v in flat.values()])
+    print(json.dumps(m))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vacnic_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -247,6 +328,10 @@ def main(argv=None) -> int:
     sp.add_argument("--vocab", required=True, help="BART vocab.json")
     sp.add_argument("--merges", required=True, help="BART merges.txt")
     sp.add_argument("--max-steps", type=int, default=None)
+    sp.add_argument("--init-bart", default=None,
+                    help="converted BART .npz (scripts/convert_checkpoint.py) to init from")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from <out-dir>/last (full TrainState incl. optimizer)")
     sp.add_argument("--set", action="append", metavar="sec.field=val")
     sp.set_defaults(fn=cmd_train)
 
@@ -265,6 +350,16 @@ def main(argv=None) -> int:
     sp.add_argument("--data-dict", default=None)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("lmm", help="LMM zero-shot prompting baseline")
+    sp.add_argument("--backend", choices=["echo", "instructblip", "llava"], default="echo")
+    sp.add_argument("--data-dict", required=True)
+    sp.add_argument("--data-base-dir", required=True)
+    sp.add_argument("--dataset", choices=["goodnews", "nytimes"], default="goodnews")
+    sp.add_argument("--use-retrieval", action="store_true")
+    sp.add_argument("--batch-size", type=int, default=4)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_lmm)
 
     sp = sub.add_parser("smoke", help="tiny synthetic end-to-end self-check")
     sp.set_defaults(fn=cmd_smoke)

@@ -141,12 +141,30 @@ def attention_core(
     v: jax.Array,  # [B, H, S, hd]
     mask: jax.Array | None,  # additive [B or 1, 1, T, S]
 ) -> jax.Array:
+    if _flash_eligible(q, k, mask):
+        from vacnic_tpu.kernels.flash_attn import flash_attention
+
+        return flash_attention(q, k, v, jnp.broadcast_to(mask, q.shape[:2] + (q.shape[2], k.shape[2])))
     scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
     if mask is not None:
         scores = scores + mask.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bhsd->bhtd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
+
+
+def _flash_eligible(q, k, mask) -> bool:
+    """Use the Pallas flash kernel for long-sequence attention on TPU (the
+    512-token encoder self-attention; SURVEY §7.9). Short/unaligned shapes and
+    non-TPU backends take the XLA path. Opt out with VACNIC_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("VACNIC_NO_PALLAS") or mask is None:
+        return False
+    if jax.default_backend() in ("cpu",):
+        return False
+    t, s, hd = q.shape[2], k.shape[2], q.shape[3]
+    return t % 128 == 0 and s % 128 == 0 and hd % 64 == 0 and t >= 256
 
 
 def mha(

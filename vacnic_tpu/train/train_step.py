@@ -150,8 +150,31 @@ def compute_losses(
         metrics["face_name_loss"] = fn_loss
         total = total + tcfg.mapping_loss_weight * fn_loss
 
+    # --- optional CLIP image/caption contrastive loss (train...match.py:312-321;
+    # released script disables it via --no_clip_loss True) -------------------
+    if not tcfg.no_clip_loss and "pixels" in batch and "caption_ids_clip" in batch:
+        from vacnic_tpu.models.clip_text import clip_text_fwd
+        from vacnic_tpu.models.clip_vit import clip_image_embed
+
+        img_emb = clip_image_embed(params["clip"]["vision"], batch["pixels"], cfg.clip, dtype)
+        txt_emb = clip_text_fwd(params["clip"]["text"], batch["caption_ids_clip"], dtype)
+        scale = jnp.exp(params["clip"]["text"]["logit_scale"])
+        clip_loss = L.clip_contrastive_loss(img_emb, txt_emb, scale)
+        metrics["clip_loss"] = clip_loss
+        total = total + clip_loss
+
     metrics["loss"] = total
     return total, metrics
+
+
+def perturb_bos(params: Params, rng: jax.Array, scale: float = 1.0) -> Params:
+    """--perturb: add Gaussian noise to the shared embedding's BOS row
+    (train...match.py:756-758)."""
+    w = params["shared"]["weight"]
+    noise = jax.random.normal(rng, (w.shape[1],), w.dtype) * scale
+    out = dict(params)
+    out["shared"] = {"weight": w.at[0].add(noise)}
+    return out
 
 
 def make_train_step(cfg: VacnicConfig, num_training_steps: int):

@@ -155,11 +155,12 @@ def attention_core(
 
 def _flash_eligible(q, k, mask) -> bool:
     """Use the Pallas flash kernel for long-sequence attention on TPU (the
-    512-token encoder self-attention; SURVEY §7.9). Short/unaligned shapes and
-    non-TPU backends take the XLA path. Opt out with VACNIC_NO_PALLAS=1."""
+    512-token encoder self-attention; SURVEY §7.9). Opt-in via
+    VACNIC_PALLAS=1 while the kernel is validated per-backend; short or
+    unaligned shapes and non-TPU backends always take the XLA path."""
     import os
 
-    if os.environ.get("VACNIC_NO_PALLAS") or mask is None:
+    if not os.environ.get("VACNIC_PALLAS") or mask is None:
         return False
     if jax.default_backend() in ("cpu",):
         return False

@@ -65,6 +65,16 @@ def embed_names_3d(model_params: Params, names_ids_3d: jax.Array, cfg) -> jax.Ar
     return jax.lax.stop_gradient(jnp.mean(h, axis=1).reshape(bsz, n, -1))
 
 
+def embed_tgt(model_params: Params, tgt_ids: jax.Array, cfg) -> jax.Array:
+    """`get_embedding_tgt` (train...match.py:137-155): no-grad decoder-side
+    token+position embedding of target ids (used by representation-analysis
+    variants)."""
+    h = B.embed_and_norm(model_params["shared"], model_params["decoder"]["embed_positions"],
+                         model_params["decoder"]["layernorm_embedding"], tgt_ids, cfg,
+                         RngStream(None), jnp.float32)
+    return jax.lax.stop_gradient(h)
+
+
 def compute_losses(
     params: Params,
     teacher: Params,

@@ -233,6 +233,8 @@ def decode_step(
           dp.w_cross_q, dp.b_cross_q, dp.w_cross_out, dp.b_cross_out, dp.ln_cross,
           dp.w_fc1, dp.b_fc1, dp.w_fc2, dp.b_fc2, dp.ln_final,
           cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    # scan (not unroll): measured 8.25 ms/step vs 9.75 unrolled on v5e —
+    # the rolled loop schedules better at t=1 shapes
     x, (new_k, new_v) = jax.lax.scan(layer, x, xs)
 
     w_lm = params["shared"]["weight"].astype(dtype)

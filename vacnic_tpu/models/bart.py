@@ -207,11 +207,18 @@ def encoder_fwd(
     x = embed_and_norm(params["shared"], enc["embed_positions"], enc["layernorm_embedding"],
                        input_ids, cfg, rngs, dtype)
     mask = expand_mask(attention_mask, dtype=dtype)
-    layer = encoder_layer_fwd
-    if remat:
-        layer = jax.checkpoint(layer, static_argnums=(3,))
-    for p in enc["layers"]:
-        x = layer(p, x, mask, cfg, rngs)
+
+    # remat needs array-only traced args: per-layer dropout keys instead of a
+    # threaded RngStream object (a stateless re-derivation, same semantics)
+    has_dropout = dropout_rng is not None
+    base_key = dropout_rng if has_dropout else jax.random.PRNGKey(0)
+
+    def layer_fn(p, x, mask, key, cfg, has_dropout):
+        return encoder_layer_fwd(p, x, mask, cfg, RngStream(key if has_dropout else None))
+
+    layer = jax.checkpoint(layer_fn, static_argnums=(4, 5)) if remat else layer_fn
+    for i, p in enumerate(enc["layers"]):
+        x = layer(p, x, mask, jax.random.fold_in(base_key, i), cfg, has_dropout)
     return x
 
 
@@ -255,15 +262,28 @@ def decoder_fwd(
 
     cross_mask = expand_mask(enc_attention_mask, t, dtype)
 
-    layer = decoder_layer_fwd
-    if remat and cache is None:
-        layer = jax.checkpoint(layer, static_argnums=(5,))
+    has_dropout = dropout_rng is not None
+    base_key = dropout_rng if has_dropout else jax.random.PRNGKey(0)
+
+    def layer_fn(p, x, self_mask, enc_out, cross_mask, key, cfg, has_dropout):
+        rs = RngStream(key if has_dropout else None)
+        out, _ = decoder_layer_fwd(p, x, self_mask, enc_out, cross_mask, cfg, rs, None, None)
+        return out
+
+    use_remat = remat and cache is None
+    layer = jax.checkpoint(layer_fn, static_argnums=(6, 7)) if use_remat else None
 
     new_layer_caches = []
     for i, p in enumerate(dec["layers"]):
-        layer_cache = cache["layers"][i] if cache is not None else None
-        x, new_c = layer(p, x, self_mask, enc_out, cross_mask, cfg, rngs, layer_cache, cache_index)
-        new_layer_caches.append(new_c)
+        if use_remat:
+            x = layer(p, x, self_mask, enc_out, cross_mask,
+                      jax.random.fold_in(base_key, i), cfg, has_dropout)
+            new_layer_caches.append(None)
+        else:
+            layer_cache = cache["layers"][i] if cache is not None else None
+            x, new_c = decoder_layer_fwd(p, x, self_mask, enc_out, cross_mask, cfg, rngs,
+                                         layer_cache, cache_index)
+            new_layer_caches.append(new_c)
 
     new_cache = {"layers": tuple(new_layer_caches)} if cache is not None else None
     return x, new_cache

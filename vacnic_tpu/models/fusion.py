@@ -354,13 +354,19 @@ def mm_encoder_fwd(
     attn_mask = expand_mask(attention_mask, dtype=dtype)
 
     fused_set = set(fcfg.fusion_layers)
-    layer = fusion_encoder_layer_fwd
-    if remat:
-        layer = jax.checkpoint(layer, static_argnums=(5, 6, 8, 9))
+    has_dropout = dropout_rng is not None
+    base_key = dropout_rng if has_dropout else jax.random.PRNGKey(0)
+
+    def layer_fn(p, x, attn_mask, streams, masks, key, cfg, fcfg, fused, add_ner, has_do):
+        rs = RngStream(key if has_do else None)
+        return fusion_encoder_layer_fwd(p, x, attn_mask, streams, masks, cfg, fcfg, rs,
+                                        fused, add_ner)
+
+    layer = jax.checkpoint(layer_fn, static_argnums=(6, 7, 8, 9, 10)) if remat else layer_fn
 
     for i, p in enumerate(enc["layers"]):
-        x, streams = layer(p, x, attn_mask, streams, masks, cfg, fcfg, rngs,
-                           i in fused_set, add_ner_ffn)
+        x, streams = layer(p, x, attn_mask, streams, masks, jax.random.fold_in(base_key, i),
+                           cfg, fcfg, i in fused_set, add_ner_ffn, has_dropout)
 
     return {
         "last_hidden": x,

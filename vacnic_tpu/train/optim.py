@@ -38,12 +38,15 @@ def _is_clip(path: tuple) -> bool:
     return any(getattr(p, "key", None) == "clip" for p in path)
 
 
-def make_optimizer(cfg: TrainConfig, num_training_steps: int, train_clip: bool = False):
+def make_optimizer(cfg: TrainConfig, num_training_steps: int, train_clip: bool = False,
+                   mu_dtype=None):
     """Build the two-group optax transform over a param tree that may contain a
-    top-level "clip" subtree."""
+    top-level "clip" subtree. `mu_dtype=jnp.bfloat16` halves the first-moment
+    memory (useful for single-chip BART-large, where fp32 params+grads+Adam
+    state exceed 16 GB HBM; the second moment stays fp32)."""
     bart_tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm) if not cfg.no_clip_norm else optax.identity(),
-        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps),
+        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps, mu_dtype=mu_dtype),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_learning_rate(
             linear_warmup_schedule(cfg.lr_bart, num_training_steps, cfg.warmup_rate)

@@ -187,10 +187,10 @@ def perturb_bos(params: Params, rng: jax.Array, scale: float = 1.0) -> Params:
     return out
 
 
-def make_train_step(cfg: VacnicConfig, num_training_steps: int):
+def make_train_step(cfg: VacnicConfig, num_training_steps: int, mu_dtype=None):
     """Returns (init_fn, step_fn). step_fn: (state, batch) → (state, metrics),
     jittable and shardable (annotate inputs with NamedShardings)."""
-    tx = make_optimizer(cfg.train, num_training_steps)
+    tx = make_optimizer(cfg.train, num_training_steps, mu_dtype=mu_dtype)
 
     def init_fn(params: Params, teacher: Params, rng) -> TrainState:
         return TrainState(

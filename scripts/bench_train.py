@@ -10,7 +10,11 @@ the wall-time comparison is direct. One JSON line like bench.py.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +29,13 @@ def main() -> None:
     from vacnic_tpu.models import fusion as F
     from vacnic_tpu.train.train_step import make_train_step
 
+    import dataclasses
+
     cfg = VacnicConfig.full_train()
+    if os.environ.get("BENCH_NO_REMAT"):
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, grad_checkpoint=False)
+        )
     key = set_random_seed(0)
     params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
     # frozen CoLaM teacher in bf16 (no gradients through it); Adam mu in bf16 —
@@ -33,7 +43,7 @@ def main() -> None:
     teacher = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16), B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     )
-    batch_size = 16
+    batch_size = int(os.environ.get("BENCH_BATCH", 16))
     batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
 
     init_fn, step_fn = make_train_step(cfg, num_training_steps=1000, mu_dtype=jnp.bfloat16)

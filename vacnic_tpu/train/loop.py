@@ -58,6 +58,9 @@ def fit(
     metrics = metrics or MetricsLogger(out_dir)
     ckpt_best = CheckpointManager(os.path.join(out_dir, "best"), cfg, max_to_keep=1)
     ckpt_last = CheckpointManager(os.path.join(out_dir, "last"), cfg, max_to_keep=2)
+    # NOTE: the input TrainState is DONATED (its buffers are consumed in place
+    # to halve parameter memory) — callers must use the returned state, never
+    # the one they passed in.
     jit_step = jax.jit(step_fn, donate_argnums=0)
     jit_eval = jax.jit(lambda p, b: eval_step(p, b, cfg))
 

@@ -61,7 +61,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train samples/sec/chip (full VACNIC BART-large, batch 32, SECLA+CoLaM)",
+                "metric": (
+                    f"train samples/sec/chip (full VACNIC BART-large, batch {batch_size}, "
+                    f"SECLA+CoLaM, remat={'on' if cfg.train.grad_checkpoint else 'off'})"
+                ),
                 "value": round(batch_size / dt, 2),
                 "unit": "samples/sec/chip",
                 "step_ms": round(dt * 1000, 1),

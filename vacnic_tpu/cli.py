@@ -103,9 +103,12 @@ def _make_loaders(cfg, tokenizer, split_paths, train: bool):
     for path, is_train in split_paths:
         with open(path) as f:
             data_dict = json.load(f)
+        # reference directory layout (train...match.py:770-812):
+        # DATADIR/GoodNews/goodnews/* per-sample files, DATADIR/GoodNews/*.json dicts
+        base = {"goodnews": "GoodNews/goodnews", "nytimes": "NYTimes/nytimes"}[cfg.data.dataset]
         ds = NewsCaptionDataset(
             data_dict,
-            os.path.join(cfg.data.data_dir, cfg.data.dataset),
+            os.path.join(cfg.data.data_dir, base),
             tokenizer,
             dataset=cfg.data.dataset,
             max_article_len=cfg.data.article_max_length,
@@ -113,18 +116,21 @@ def _make_loaders(cfg, tokenizer, split_paths, train: bool):
             max_ner_type_len_gt=cfg.fusion.max_ner_type_len_gt,
             retrieved_sent=cfg.data.use_retrieval,
             train=is_train,
+            image_size=cfg.clip.image_size,
         )
+        noname = tokenizer.added_tokens.get("<NONAME>", 50266)
         loaders.append(
             PrefetchLoader(
                 ds,
                 cfg.train.train_batch_size if is_train else cfg.train.val_batch_size,
-                lambda s: collate(
+                lambda s, _n=noname: collate(
                     s, article_len=cfg.data.article_max_length,
                     caption_len=cfg.data.caption_max_length,
                     ner_len=cfg.fusion.max_ner_type_len,
                     ner_len_gt=cfg.fusion.max_ner_type_len_gt,
                     max_faces=cfg.fusion.max_faces,
                     face_dim=cfg.fusion.face_feature_dim,
+                    noname_id=_n,
                 ),
                 shuffle=is_train,
                 num_workers=cfg.data.num_workers,
@@ -149,7 +155,14 @@ def cmd_train(args) -> int:
     tokenizer = BartBpeTokenizer(args.vocab, args.merges)
     tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
 
-    params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
+    from vacnic_tpu.models.clip_vit import clip_vision_init
+
+    params = {
+        "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
+        # frozen CLIP vision tower for on-the-fly image features (the released
+        # config freezes CLIP and never steps its optimizer; train...match.py:376)
+        "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
+    }
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     if args.init_bart:
         # converted pretrained BART (.npz from scripts/convert_checkpoint.py):
@@ -215,7 +228,7 @@ def cmd_train(args) -> int:
                 max_steps=args.max_steps)
 
     out = generate_captions(
-        cfg, {"model": state.params["model"]}, test_loader, tokenizer,
+        cfg, state.params, test_loader, tokenizer,
         out_path=os.path.join(args.out_dir, "test_captions.json"),
     )
     print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
@@ -230,10 +243,15 @@ def cmd_generate(args) -> int:
     from vacnic_tpu.train.train_step import make_train_step
     import jax
 
+    from vacnic_tpu.models.clip_vit import clip_vision_init
+
     cfg = CheckpointManager.load_config(args.ckpt_dir)
     cfg = _apply_overrides(cfg, args.set or [])
     key = jax.random.PRNGKey(cfg.decode.seed)
-    params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
+    params = {
+        "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
+        "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
+    }
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     init_fn, _ = make_train_step(cfg, 1)
     template = init_fn(params, teacher, key)
@@ -246,7 +264,7 @@ def cmd_generate(args) -> int:
     with open(args.data_dict) as f:
         data_dict = json.load(f)
     (loader,) = _make_loaders(cfg, tokenizer, [(args.data_dict, False)], False)
-    out = generate_captions(cfg, {"model": state.params["model"]}, loader, tokenizer,
+    out = generate_captions(cfg, state.params, loader, tokenizer,
                             out_path=args.out)
     print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
     return 0

@@ -77,6 +77,31 @@ def generate_text_bart(
     return _decode_from_encoder(params, enc, attention_mask, cfg, dcfg, dtype)
 
 
+def greedy_search(params, input_ids, attention_mask, cfg: BartConfig,
+                  dcfg: DecodeConfig, dtype=jnp.float32):
+    """Greedy decoding (the absent `src.utils.generation_utils.greedy_search`,
+    SURVEY §0.1) — beam search with num_beams=1 is exactly argmax decoding."""
+    import dataclasses
+
+    return generate_text_bart(
+        params, input_ids, attention_mask, cfg,
+        dataclasses.replace(dcfg, num_beams=1, length_penalty=1.0), dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def get_prob(params, input_ids, attention_mask, decoder_input_ids, labels,
+             cfg: BartConfig, dtype=jnp.float32):
+    """Per-sequence log-probability of `labels` under teacher forcing (the
+    absent `generation_utils.get_prob`): sum of token logprobs, pad-masked."""
+    out = B.bart_forward(params, input_ids, attention_mask, decoder_input_ids,
+                         cfg, dtype=dtype)
+    logp = jax.nn.log_softmax(out["logits"].astype(jnp.float32), axis=-1)
+    tok_lp = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    valid = (labels != cfg.pad_token_id).astype(jnp.float32)
+    return jnp.sum(tok_lp * valid, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "fcfg", "dcfg", "add_ner_ffn", "dtype"))
 def generate_mm(
     params,

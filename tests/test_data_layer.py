@@ -29,6 +29,16 @@ def test_special_token_ids(tok):
     assert tok.added_tokens["<PERSON>"] == 50267
 
 
+def test_gpt2_pretokenizer_classes():
+    """Letters/numbers/punct split separately (GPT-2 \\p{L}/\\p{N} classes) —
+    merged `\\w+` diverges from the pretrained BART vocab on 'COVID19' etc."""
+    from vacnic_tpu.data.tokenize import _GPT2_SPLIT
+
+    assert _GPT2_SPLIT.findall("COVID19 cases") == ["COVID", "19", " cases"]
+    assert _GPT2_SPLIT.findall("foo_bar") == ["foo", "_", "bar"]
+    assert _GPT2_SPLIT.findall("it's 9/11") == ["it", "'s", " 9", "/", "11"]
+
+
 def test_find_first_sublist():
     assert find_first_sublist([1, 2, 3, 4], [3, 4]) == (2, 4)
     assert find_first_sublist([1, 2], [5]) is None
@@ -36,6 +46,8 @@ def test_find_first_sublist():
 
 def test_dedupe_entities():
     assert dedupe_entities(["Barack Obama", "Obama", "Biden"]) == ["Barack Obama", "Biden"]
+    # reference compare_ner semantics: exact duplicates eliminate each other
+    assert dedupe_entities(["John Smith", "John Smith"]) == []
 
 
 def test_make_entity_ids_contract(tok):

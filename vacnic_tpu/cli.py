@@ -112,6 +112,7 @@ def _make_loaders(cfg, tokenizer, split_paths, train: bool):
             tokenizer,
             dataset=cfg.data.dataset,
             max_article_len=cfg.data.article_max_length,
+            max_caption_len=cfg.data.caption_max_length,
             max_ner_type_len=cfg.fusion.max_ner_type_len,
             max_ner_type_len_gt=cfg.fusion.max_ner_type_len_gt,
             retrieved_sent=cfg.data.use_retrieval,
@@ -134,6 +135,9 @@ def _make_loaders(cfg, tokenizer, split_paths, train: bool):
                 ),
                 shuffle=is_train,
                 num_workers=cfg.data.num_workers,
+                # eval loaders must see every sample: entity/face-group eval
+                # aligns output entries to data-dict entries by position
+                drop_last=is_train,
             )
         )
     return loaders

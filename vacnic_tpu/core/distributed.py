@@ -16,16 +16,23 @@ import jax
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Idempotent multi-host init. No-op on single-process runs."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Multi-host init. MUST run before anything touches a JAX backend
+    (even `jax.process_count()` initializes it, after which distributed init
+    is ineffective). Raises on real failures rather than silently falling
+    back to single-process training with no cross-host gradient sync."""
     try:
         if coordinator_address is not None:
             jax.distributed.initialize(coordinator_address, num_processes, process_id)
         else:
             jax.distributed.initialize()  # TPU metadata discovery
-    except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
+    except ValueError:
+        # no coordinator discoverable → genuinely single-process environment
+        if num_processes not in (None, 1):
+            raise
 
 
 def is_primary() -> bool:

@@ -74,6 +74,7 @@ class NewsCaptionDataset:
         *,
         ent_separator: str = "<ENT>",
         max_article_len: int = 512,
+        max_caption_len: int = 100,  # the reference hardcodes 100 (goodnews...py:624)
         max_ner_type_len: int = 80,
         max_ner_type_len_gt: int = 20,
         retrieved_sent: bool = True,
@@ -96,6 +97,7 @@ class NewsCaptionDataset:
         self.clip_tokenizer = clip_tokenizer
         self.ent_separator = ent_separator
         self.max_article_len = max_article_len
+        self.max_caption_len = max_caption_len
         self.max_ner_type_len = max_ner_type_len
         self.max_ner_type_len_gt = max_ner_type_len_gt
         self.retrieved_sent = retrieved_sent
@@ -168,7 +170,7 @@ class NewsCaptionDataset:
             "article": article,
             "caption": caption,
             "article_ids": tok.encode(article, max_length=self.max_article_len),
-            "caption_ids": tok.encode(caption, max_length=100),
+            "caption_ids": tok.encode(caption, max_length=self.max_caption_len),
             "names": names,
             "all_gt_ner": all_gt_ner,
             "face_emb": face_emb,

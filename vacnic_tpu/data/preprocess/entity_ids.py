@@ -31,16 +31,19 @@ def find_first_sublist(seq: Sequence[int], sub: Sequence[int], start: int = 0):
 
 
 def dedupe_entities(entities: list[str]) -> list[str]:
-    """Keep the longest mention when one entity string contains another
-    (the dataset's compare_ner dedup pass, goodnews...py:579-601)."""
+    """The dataset's compare_ner dedup pass (goodnews...py:579-601): drop an
+    entity iff it is a substring of ANY other list element. NOTE this means
+    exact duplicates eliminate EACH OTHER — ['A', 'A'] → [] (each copy is a
+    substring of the other); the reference behaves this way and the stream
+    then falls back to <NONAME>."""
     out: list[str] = []
-    for e in entities:
+    for i, e in enumerate(entities):
         if not e:
             continue
-        if any(e != o and e in o for o in entities):
+        others = entities[:i] + entities[i + 1:]
+        if any(e in o for o in others):
             continue
-        if e not in out:
-            out.append(e)
+        out.append(e)
     return out
 
 

@@ -41,10 +41,21 @@ def _bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
-_GPT2_SPLIT = re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+""",
-    re.UNICODE,
-)
+# GPT-2's exact pretokenizer: separate letter / number / punctuation classes
+# (`\p{L}`/`\p{N}`). A merged ` ?\w+` variant diverges on letter-digit mixes
+# ("COVID19" → ["COVID","19"] in GPT-2) and underscores, breaking id-level
+# parity with the pretrained BART vocab.
+try:
+    import regex as _re_impl
+
+    _GPT2_SPLIT = _re_impl.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    )
+except ImportError:  # pragma: no cover - `regex` is available in this image
+    _GPT2_SPLIT = re.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[_]|[^\s\w])+|\s+(?!\S)|\s+""",
+        re.UNICODE,
+    )
 
 
 class BartBpeTokenizer:

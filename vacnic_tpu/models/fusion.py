@@ -92,14 +92,20 @@ def prompt_mlp_patch_init(key, map_size: tuple[int, ...]) -> Params:
 
 
 def prompt_mlp_patch_fwd(p: Params, patch_feat: jax.Array) -> jax.Array:
-    """[B, n_patches, width] → [B, map_size[-1], width]."""
-    x = patch_feat.transpose(0, 2, 1)  # (B, width, n_patches)
+    """[B, n_patches, width] → [B, map_size[-1], width].
+
+    NOTE: the reference uses a raw RESHAPE (B, width, n_patches), not a
+    transpose (reference MLP.forward :96-107) — a memory reinterpretation
+    that mixes patch and channel axes. Reproduced exactly (same trick as the
+    NER length-compress FFN) so converted "mlp"-type checkpoints match."""
+    b, n_patches, width = patch_feat.shape
+    x = patch_feat.reshape(b, width, n_patches)
     n = len(p["stages"])
     for i, stage in enumerate(p["stages"]):
         x = linear(stage, x)
         if i < n - 1:
             x = jnp.tanh(x)
-    return x.transpose(0, 2, 1)
+    return x.reshape(b, -1, width)
 
 
 # ---------------------------------------------------------------------------

@@ -139,7 +139,7 @@ def convert_bart(sd: Mapping[str, Any], cfg: BartConfig) -> Params:
     return params
 
 
-def resize_vocab(params: Params, new_vocab: int, seed_rows: int | None = None) -> Params:
+def resize_vocab(params: Params, new_vocab: int) -> Params:
     """Extend the shared embedding + logits bias to `new_vocab` rows.
 
     Matches `resize_token_embeddings` + `_resize_final_logits_bias`
@@ -206,18 +206,21 @@ def convert_multimodal_bart(sd: Mapping[str, Any], cfg: BartConfig, fcfg: Fusion
         layers.append(p)
     enc["layers"] = tuple(layers)
 
+    # Both reference mapper classes serialize as prompt_mlp.model.{0,2,...};
+    # the layout must be chosen by the CONFIGURED type (a clipcap ckpt has
+    # exactly 2 linears, an "mlp" ckpt has len(map_size)-1 of them).
     if "encoder.prompt_mlp.model.0.weight" in sd:
-        enc["prompt_mlp"] = {
-            "prompt_fc1": _linear(sd, "encoder.prompt_mlp.model.0"),
-            "prompt_fc2": _linear(sd, "encoder.prompt_mlp.model.2"),
-        }
-    elif "encoder.prompt_mlp.model.0.weight" not in sd:
-        stages = []
-        i = 0
-        while f"encoder.prompt_mlp.model.{i}.weight" in sd:
-            stages.append(_linear(sd, f"encoder.prompt_mlp.model.{i}"))
-            i += 2
-        if stages:
+        if fcfg.prompt_mlp_type == "clipcap":
+            enc["prompt_mlp"] = {
+                "prompt_fc1": _linear(sd, "encoder.prompt_mlp.model.0"),
+                "prompt_fc2": _linear(sd, "encoder.prompt_mlp.model.2"),
+            }
+        else:
+            stages = []
+            i = 0
+            while f"encoder.prompt_mlp.model.{i}.weight" in sd:
+                stages.append(_linear(sd, f"encoder.prompt_mlp.model.{i}"))
+                i += 2
             enc["prompt_mlp"] = {"stages": tuple(stages)}
     if "encoder.visual_map.weight" in sd:
         enc["visual_map"] = _linear(sd, "encoder.visual_map")

@@ -23,11 +23,15 @@ import jax.numpy as jnp
 
 def pool(last_hidden: jax.Array, mask: jax.Array) -> jax.Array:
     """Masked mean-pool; all-masked rows → 1.0 (the reference's
-    `torch.nan_to_num(emb, nan=1.0)` after 0/0)."""
+    `torch.nan_to_num(emb, nan=1.0)` after 0/0).
+
+    The divide is guarded BEFORE the `where`: dividing by a raw zero would
+    produce NaN whose gradient leaks through the untaken `where` branch
+    (nan·0 = nan) and poisons the whole step."""
     m = mask.astype(last_hidden.dtype)[..., None]
     summed = jnp.sum(last_hidden * m, axis=1)
     denom = jnp.sum(m, axis=1)
-    emb = summed / denom
+    emb = summed / jnp.maximum(denom, 1e-9)
     return jnp.where(denom > 0, emb, jnp.ones_like(emb))
 
 

@@ -126,8 +126,10 @@ def compute_losses(
 
     # --- CoLaM: frozen text-only teacher (train...match.py:292-309) ---------
     if tcfg.alpha > 0:
+        # deterministic teacher: HF from_pretrained returns the model in eval
+        # mode and the reference never calls .train() on it — no dropout
         t_out = B.bart_forward(teacher, src_ids, src_mask, tgt_input, bart_cfg,
-                               dropout_rng=rngs.get("teacher"), dtype=dtype)
+                               dropout_rng=None, dtype=dtype)
         margin_loss = L.colam_margin_loss(
             out["decoder_hidden"].astype(jnp.float32),
             t_out["decoder_hidden"].astype(jnp.float32),

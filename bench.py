@@ -31,8 +31,17 @@ def main() -> None:
     from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
 
     import dataclasses
+    import os
 
-    cfg = VacnicConfig.full_train()
+    if os.environ.get("BENCH_TINY"):
+        # CPU smoke mode: exercises the exact bench code path on tiny shapes
+        # (tests/test_bench_smoke.py) so driver-side breakage is caught early
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        cfg = VacnicConfig.tiny()
+    else:
+        cfg = VacnicConfig.full_train()
     # min_length = max_length: random-weight models emit eos immediately, which
     # would measure a 2-step decode; force the full 50-token beam search so the
     # number reflects real caption-length decoding cost.
@@ -41,9 +50,10 @@ def main() -> None:
     )
     key = jax.random.PRNGKey(0)
     params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    compute_dtype = jnp.float32 if os.environ.get("BENCH_TINY") else jnp.bfloat16
+    params = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
 
-    batch_size = 32
+    batch_size = 2 if os.environ.get("BENCH_TINY") else 32
     batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
 
     import numpy as np
@@ -61,7 +71,7 @@ def main() -> None:
             face_mask=face_mask_from_emb(batch["face_emb"]),
             name_ids=batch["names_art_ids"],
             name_mask=create_mask(batch["names_art_ids"]),
-            dtype=jnp.bfloat16,
+            dtype=compute_dtype,
         )
         # np.asarray forces a device→host transfer of the result: on tunneled
         # backends `block_until_ready` may not actually block, which would

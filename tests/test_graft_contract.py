@@ -1,17 +1,49 @@
 """Driver-contract tests: __graft_entry__.entry() must stay jittable and
-dryrun_multichip must compile+run the dp×tp train step on a virtual mesh —
-the same checks the round driver performs."""
+dryrun_multichip must compile+run the dp×tp train step on an 8-device mesh —
+the same checks the round driver performs.
+
+Round-1 regression (VERDICT.md #1): the driver invokes dryrun_multichip in an
+env where jax.devices() is a SINGLE device; the entry must self-provision a
+CPU mesh. These tests never skip on device count — that masking is exactly
+what let MULTICHIP_r01 go red while tests stayed green.
+"""
+
+import os
+import subprocess
+import sys
 
 import jax
-import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_dryrun_multichip_8():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the 8-device virtual CPU mesh from conftest")
+def test_dryrun_multichip_8_inline():
+    # Under conftest's 8-device virtual CPU mesh the body runs in-process.
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_dryrun_multichip_self_provisions_from_one_device():
+    """Reproduce the driver's env: a fresh interpreter that sees ONE device
+    (cpu, no forced device count) calls dryrun_multichip(8). Must pass via
+    the subprocess re-exec path, not skip."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # no virtual devices: jax.devices() == 1
+    pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + pp if pp else "")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "import __graft_entry__\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, f"stderr: {proc.stderr[-3000:]}"
+    assert "dryrun_multichip ok" in proc.stdout, proc.stdout
 
 
 def test_entry_abstract_eval():

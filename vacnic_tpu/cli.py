@@ -94,7 +94,7 @@ def cmd_smoke(args) -> int:
     return 0
 
 
-def _make_loaders(cfg, tokenizer, split_paths, train: bool):
+def _make_loaders(cfg, tokenizer, split_paths, train: bool, clip_tokenizer=None):
     from vacnic_tpu.data.collate import collate
     from vacnic_tpu.data.datasets import NewsCaptionDataset
     from vacnic_tpu.data.pipeline import PrefetchLoader
@@ -118,6 +118,7 @@ def _make_loaders(cfg, tokenizer, split_paths, train: bool):
             retrieved_sent=cfg.data.use_retrieval,
             train=is_train,
             image_size=cfg.clip.image_size,
+            clip_tokenizer=clip_tokenizer,
         )
         noname = tokenizer.added_tokens.get("<NONAME>", 50266)
         loaders.append(
@@ -158,6 +159,11 @@ def cmd_train(args) -> int:
 
     tokenizer = BartBpeTokenizer(args.vocab, args.merges)
     tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
+    clip_tok = None
+    if getattr(args, "clip_vocab", None):
+        from vacnic_tpu.data.clip_tokenize import ClipBpeTokenizer
+
+        clip_tok = ClipBpeTokenizer.from_dir(args.clip_vocab)
 
     from vacnic_tpu.models.clip_vit import clip_vision_init
 
@@ -216,7 +222,8 @@ def cmd_train(args) -> int:
         for s in ("train", "val", "test")
     ]
     train_loader, val_loader, test_loader = _make_loaders(
-        cfg, tokenizer, [(paths[0], True), (paths[1], False), (paths[2], False)], True
+        cfg, tokenizer, [(paths[0], True), (paths[1], False), (paths[2], False)], True,
+        clip_tokenizer=clip_tok,
     )
 
     steps_per_epoch = len(train_loader)
@@ -301,6 +308,62 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_retrieve(args) -> int:
+    """CLIP sentence-retrieval preprocessing (the stage ABSENT from the
+    reference snapshot, SURVEY §0.1): embed each sample's image, score the
+    article's sentences with the CLIP text tower, keep the top
+    --num-sentences, and write `sents_byclip` into a copy of the data dict —
+    producing the `*_clip{N}sent_contras_name_pos.json` files the trainers
+    consume (train...match.py:772, goodnews...py:562-563)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vacnic_tpu.core.config import ClipVisionConfig
+    from vacnic_tpu.data.clip_tokenize import ClipBpeTokenizer
+    from vacnic_tpu.data.datasets import load_image
+    from vacnic_tpu.data.preprocess.clip_retrieval import retrieve_sentences, split_sentences
+    from vacnic_tpu.models.clip_vit import clip_image_embed
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from convert_checkpoint import load_tree  # noqa: E402
+
+    clip_params = load_tree(args.clip_ckpt)
+    if "text" not in clip_params:
+        raise SystemExit("clip checkpoint has no text tower; convert the full "
+                         "OpenAI .pt with scripts/convert_checkpoint.py clip")
+    tok = ClipBpeTokenizer.from_dir(args.clip_vocab)
+    vcfg = ClipVisionConfig()
+
+    with open(args.data_dict) as f:
+        data_dict = json.load(f)
+    n_done = 0
+    for hash_id, rec in data_dict.items():
+        art_path = os.path.join(args.data_base_dir, "articles_full", f"{hash_id}.txt")
+        if "article" in rec:
+            article = rec["article"]
+        elif os.path.exists(art_path):
+            with open(art_path) as f:
+                article = f.read()
+        else:
+            continue
+        img_path = os.path.join(args.data_base_dir, "images_processed", f"{hash_id}.jpg")
+        if not os.path.exists(img_path):
+            continue
+        pixels = jnp.asarray(load_image(img_path)[None])
+        img_embed = np.asarray(clip_image_embed(clip_params["vision"], pixels, vcfg))[0]
+        if len(split_sentences(article)) > 1:
+            rec["sents_byclip"] = retrieve_sentences(
+                clip_params["text"], tok, img_embed, article,
+                num_sentences=args.num_sentences)
+        else:
+            rec["sents_byclip"] = article
+        n_done += 1
+    with open(args.out, "w") as f:
+        json.dump(data_dict, f)
+    print(f"retrieved top-{args.num_sentences} sentences for {n_done} samples → {args.out}")
+    return 0
+
+
 def cmd_lmm(args) -> int:
     """LMM zero-shot prompting over a split (test_*_prompt.py equivalents)."""
     from vacnic_tpu.lmm import prompting as P
@@ -355,6 +418,9 @@ def main(argv=None) -> int:
     sp.add_argument("--resume", action="store_true",
                     help="resume from <out-dir>/last (full TrainState incl. optimizer)")
     sp.add_argument("--set", action="append", metavar="sec.field=val")
+    sp.add_argument("--clip-vocab", default=None,
+                    help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz or HF dir) "
+                         "→ emit caption_ids_clip for the CLIP contrastive loss")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("generate", help="beam-decode a split from a checkpoint")
@@ -365,6 +431,16 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--set", action="append")
     sp.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("retrieve", help="CLIP sentence-retrieval preprocessing")
+    sp.add_argument("--data-dict", required=True)
+    sp.add_argument("--data-base-dir", required=True)
+    sp.add_argument("--clip-ckpt", required=True,
+                    help="converted CLIP .npz (scripts/convert_checkpoint.py clip)")
+    sp.add_argument("--clip-vocab", required=True)
+    sp.add_argument("--num-sentences", type=int, default=8)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_retrieve)
 
     sp = sub.add_parser("evaluate", help="score a caption-results JSON")
     sp.add_argument("--results", required=True)

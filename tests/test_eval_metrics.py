@@ -113,3 +113,23 @@ def test_face_groups_split():
     scored = score_face_groups(out, data, with_entities=False)
     assert scored["face_name"]["count"] == 1
     assert abs(scored["face_name"]["other metrics"]["rouge"] - 1.0) < 1e-9
+
+
+def test_gtent_alignment_guard():
+    # positional alignment must fail loudly on count mismatch (VERDICT weak #7)
+    import pytest
+
+    out = {0: {"gt": "x", "gen": "a"}, 1: {"gt": "y", "gen": "b"}}
+    gtent = {"h1": {"ner_cap": [], "names_cap": [], "org_cap": [], "gpe_cap": []}}
+    with pytest.raises(ValueError, match="positional alignment"):
+        evaluate_entity_by_gtent(out, gtent, HeuristicNER())
+
+
+def test_face_group_alignment_guard():
+    import pytest
+
+    out = {0: {"gt": "x", "gen": "a"}}
+    data = {"a": {"face_emb_dir": [], "names": []},
+            "b": {"face_emb_dir": [], "names": []}}
+    with pytest.raises(ValueError, match="positional alignment"):
+        split_by_face_group(out, data)

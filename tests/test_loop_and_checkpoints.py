@@ -47,8 +47,18 @@ def test_fit_saves_best_and_last(setup, tmp_path):
     init_fn, step_fn = make_train_step(cfg, 10)
     state = init_fn(params, teacher, jax.random.fold_in(key, 2))
     out_dir = str(tmp_path / "run")
-    state = fit(cfg, state, step_fn, _loader(cfg, 2), _loader(cfg, 1), out_dir)
+    tok = HashWordTokenizer(cfg.bart.vocab_size)
+    state = fit(cfg, state, step_fn, _loader(cfg, 2),
+                _loader(cfg, 1, with_captions=True), out_dir, tokenizer=tok)
     assert int(state.step) == 4
+    # eval_epoch dumps BOTH gt_cap and the greedy argmax text per val step
+    # (reference train...match.py:432-438)
+    with open(os.path.join(out_dir, "val_outputs.json")) as f:
+        val_out = json.load(f)
+    first = val_out[next(iter(val_out))]
+    assert set(first) == {"gt_cap", "logit_output"}
+    assert len(first["logit_output"]) == len(first["gt_cap"]) == 4
+    assert all(isinstance(s, str) for s in first["logit_output"])
     for sub in ("best", "last"):
         mgr = CheckpointManager(os.path.join(out_dir, sub))
         assert mgr.latest_step() is not None

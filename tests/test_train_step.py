@@ -107,3 +107,41 @@ def test_eval_step(setup):
     cfg, params, teacher, batch, key = setup
     m = jax.jit(lambda p, b: eval_step(p, b, cfg))({"model": params["model"]}, batch)
     assert np.isfinite(float(m["val_loss"]))
+
+
+def test_get_hidden_states_ner(setup):
+    from vacnic_tpu.train.train_step import (
+        create_mask, face_mask_from_emb, get_hidden_states_ner)
+
+    cfg, params, teacher, batch, key = setup
+    src_ids = batch["article_ids"]
+    ner = jax.jit(lambda p: get_hidden_states_ner(
+        p, src_ids, create_mask(src_ids), batch["image_cls"],
+        batch["names_art_ids"], create_mask(batch["names_art_ids"]),
+        batch["face_emb"], face_mask_from_emb(batch["face_emb"]),
+        cfg.bart, cfg.fusion))(params["model"])
+    # the NER *stream* keeps max_ner_type_len (the compressed prefix is
+    # per-layer ephemeral; reference hidden_states_ner is the stream)
+    assert ner.shape == (src_ids.shape[0], batch["names_art_ids"].shape[1],
+                         cfg.bart.d_model)
+    assert np.isfinite(np.asarray(ner)).all()
+    # stop-gradient: derivative through the helper is exactly zero
+    g = jax.grad(lambda p: jnp.sum(get_hidden_states_ner(
+        p, src_ids, create_mask(src_ids), batch["image_cls"],
+        batch["names_art_ids"], create_mask(batch["names_art_ids"]),
+        batch["face_emb"], face_mask_from_emb(batch["face_emb"]),
+        cfg.bart, cfg.fusion)))(params["model"])
+    assert float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.abs(x).sum(), g, jnp.float32(0))) == 0.0
+
+
+def test_extract_visual_prompt(setup):
+    cfg, params, teacher, batch, key = setup
+    prompt = F.extract_visual_prompt(params["model"], batch["image_cls"],
+                                     cfg.bart, cfg.fusion)
+    bsz = batch["image_cls"].shape[0]
+    assert prompt.shape == (bsz, cfg.fusion.prompt_size, cfg.bart.d_model)
+    # matches the in-encoder mapping (fusion.map_image_prompt, reference :1272-1278)
+    want = F.map_image_prompt(params["model"]["encoder"], batch["image_cls"],
+                              cfg.bart, cfg.fusion)
+    np.testing.assert_allclose(np.asarray(prompt), np.asarray(want), rtol=1e-6)

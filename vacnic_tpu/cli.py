@@ -236,7 +236,7 @@ def cmd_train(args) -> int:
         state, at = mgr.restore(state)
         print(f"resumed from step {at}", file=sys.stderr)
     state = fit(cfg, state, step_fn, train_loader, val_loader, args.out_dir,
-                max_steps=args.max_steps)
+                max_steps=args.max_steps, tokenizer=tokenizer)
 
     out = generate_captions(
         cfg, state.params, test_loader, tokenizer,

@@ -183,7 +183,15 @@ def evaluate_entity_by_gtent(output_dict: dict, gtent_dict: dict,
     ner = ner or default_ner()
     c: defaultdict = defaultdict(int)
     gt_keys = list(gtent_dict.keys())
-    for i, sample in enumerate(_caption_items(output_dict)):
+    items = _caption_items(output_dict)
+    # alignment is positional (the reference zips output entries to data-dict
+    # entries by enumeration order, evaluate_entity.py:168-230); a dropped or
+    # reordered sample silently mis-scores everything after it — fail loudly.
+    if len(items) != len(gt_keys):
+        raise ValueError(
+            f"output entries ({len(items)}) != gt-entity dict entries "
+            f"({len(gt_keys)}); positional alignment would mis-score")
+    for i, sample in enumerate(items):
         rec = gtent_dict[gt_keys[i]]
         gen_ents, _ = ner(sample["gen"])
         groups = {

@@ -20,6 +20,12 @@ def split_by_face_group(output_dict: dict, data_dict: dict) -> dict[str, dict]:
     "noface_noname": ...} each an output-dict subset aligned by order."""
     keys = [k for k in output_dict if k not in ("bleu", "other metrics")]
     data_keys = list(data_dict.keys())
+    # positional alignment (reference semantics) — guard against dropped or
+    # reordered samples, which would silently scramble every group
+    if len(keys) != len(data_keys):
+        raise ValueError(
+            f"output entries ({len(keys)}) != data-dict entries "
+            f"({len(data_keys)}); positional alignment would mis-score")
     groups: dict[str, dict] = {
         "face_name": {}, "face_noname": {}, "noface_name": {}, "noface_noname": {}
     }

@@ -302,6 +302,16 @@ def map_image_prompt(enc: Params, image_features: jax.Array, cfg: BartConfig,
     return img
 
 
+def extract_visual_prompt(params: Params, image_features: jax.Array,
+                          cfg: BartConfig, fcfg: FusionConfig) -> jax.Array:
+    """`extract_visual_prompt` (train...match.py:562-569): no-grad prompt-MLP
+    mapping of CLIP features — clipcap reshape to [B, P, 768] then
+    `visual_map` when d_model==1024 — for prompt-representation analysis
+    outside the encoder."""
+    return jax.lax.stop_gradient(
+        map_image_prompt(params["encoder"], image_features, cfg, fcfg))
+
+
 def mm_encoder_fwd(
     params: Params,
     input_ids: jax.Array,

@@ -54,6 +54,7 @@ def fit(
     *,
     metrics: MetricsLogger | None = None,
     max_steps: int | None = None,
+    tokenizer=None,
 ) -> TrainState:
     metrics = metrics or MetricsLogger(out_dir)
     ckpt_best = CheckpointManager(os.path.join(out_dir, "best"), cfg, max_to_keep=1)
@@ -82,6 +83,15 @@ def fit(
                          _device_feed(batch))
             val_losses.append(float(m["val_loss"]))
             out_dict[vstep] = {"gt_cap": batch.get("caption", [])}
+            if tokenizer is not None:
+                # greedy argmax text per val step (eval_epoch writes
+                # `logit_output` beside gt_cap, train...match.py:432-438;
+                # the reference decodes WITHOUT skipping special tokens)
+                ids = np.asarray(m["argmax_ids"])
+                out_dict[vstep]["logit_output"] = [
+                    tokenizer.decode(ids[i], skip_special_tokens=False)
+                    for i in range(ids.shape[0])
+                ]
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
         metrics.log({"val_loss": val_loss, "epoch": epoch})
         log.info("epoch %d: val_loss %.4f (%.1fs)", epoch, val_loss, time.time() - t0)

@@ -75,6 +75,23 @@ def embed_tgt(model_params: Params, tgt_ids: jax.Array, cfg) -> jax.Array:
     return jax.lax.stop_gradient(h)
 
 
+def get_hidden_states_ner(model_params: Params, src_ids, src_mask, img_feat,
+                          name_ids, name_mask, face_features, face_mask,
+                          cfg, fcfg) -> jax.Array:
+    """`get_hidden_states_ner` (train...match.py:169-179): stop-gradient
+    encoder pass returning the GT-NER stream's hidden states. The reference
+    helper targets a pre-release model signature (org/gpe id streams +
+    `add_img_ner_attn=False`); in the released face_name_ids model the NER
+    stream never cross-attends to the image, so the equivalent is the full
+    encoder forward with gradients stopped, reading `hidden_states_ner`."""
+    out = F.mm_encoder_fwd(
+        model_params, src_ids, src_mask, img_feat, cfg, fcfg,
+        face_features=face_features, face_mask=face_mask,
+        name_ids=name_ids, name_mask=name_mask, add_ner_ffn=True,
+    )
+    return jax.lax.stop_gradient(out["ner"])
+
+
 def compute_losses(
     params: Params,
     teacher: Params,
@@ -246,5 +263,7 @@ def eval_step(params: Params, batch: dict[str, jax.Array], cfg: VacnicConfig):
                        bart_cfg, fcfg, dtype=dtype, **mm_kwargs)
     return {
         "val_loss": L.lm_cross_entropy(out["logits"], tgt_ids, bart_cfg.pad_token_id),
-        "logits": out["logits"],
+        # greedy teacher-forced ids for the val text dump (train...match.py:432);
+        # argmax on device so only [B,T] ids cross to host, not [B,T,V] logits
+        "argmax_ids": jnp.argmax(out["logits"], axis=-1),
     }

@@ -229,6 +229,16 @@ class DecodeConfig:
     forced_eos: bool = True  # BartConfig default forced_eos_token_id=2
     seed: int = 42
     batch_size: int = 1
+    # Beam-semantics compatibility target. "4.18" = the reference env's
+    # transformers 4.18 (BeamSearchScorer.process/finalize); "modern" = the
+    # vectorized path in current transformers. They differ ONLY in (a) the
+    # max-length finalize denominator (4.18: full length incl. decoder start;
+    # modern: generated length) and (b) the early_stopping=False heuristic
+    # numerator (4.18: best of all 2K candidates incl. eos; modern: best
+    # running beam). Under the released VACNIC decode config (bart-large
+    # model defaults: early_stopping=True + forced_eos) the two coincide —
+    # see tests/test_beam_418_semantics.py.
+    hf_compat: str = "4.18"
 
 
 @dataclass(frozen=True)

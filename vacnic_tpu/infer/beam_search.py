@@ -16,11 +16,13 @@ Semantics replicated from HF beam search:
     (hyp length *excludes* the eos, includes decoder start); non-eos
     candidates fill the next K beams;
   * `early_stopping=True`: a batch is done once K hypotheses exist;
-    `early_stopping=False`: done when the best possible running score cannot
-    beat the worst kept hypothesis;
-  * finalize: unfinished batches add their running beams scored
-    `sum / max_length**lp`; output picks the best hypothesis, appends eos if
-    room, pads with pad_token.
+    `early_stopping=False`: done when the best possible candidate score cannot
+    beat the worst kept hypothesis (4.18: best of all 2K candidates; modern:
+    best running beam — `cfg.hf_compat` selects);
+  * finalize: unfinished batches add their K running beams — 4.18 scores them
+    `sum / max_length**lp` (length incl. decoder start), modern
+    `sum / (max_length-1)**lp`; output picks the best hypothesis, pads with
+    pad_token. See tests/test_beam_418_semantics.py for the divergence map.
 
 Everything is static-shape: the whole search is one `lax.while_loop` under
 `jit`, the KV cache pre-allocated at [B·K, ...] (TPU-friendly — no host
@@ -181,28 +183,50 @@ def beam_search(
         )
 
         # --- stopping criteria on each candidate (HF `stopping_criteria`):
-        # eos just generated, or the candidate has reached max_length.
-        hits = (topk_tok == eos_token_id) | (cur + 1 >= L)
-        # only candidates ranked within the top K may become finished hypotheses
+        # eos just generated, or (modern mode) the candidate reached max_length.
+        legacy = cfg.hf_compat == "4.18"
+        eos_hit = topk_tok == eos_token_id
+        is_last = cur + 1 >= L
+        hits = eos_hit if legacy else (eos_hit | is_last)
+        # eos candidates become hypotheses only when ranked within the top K
+        # (4.18 beam_search.py process: `beam_token_rank >= self.group_size`
+        # → skipped; identical rule in the modern vectorized path)
         admit = hits & (jnp.arange(2 * k)[None, :] < k) & ~s.done[:, None]
 
         # ----- finished pool: existing K + admitted candidates, keep top K --
-        # Normalization: generated length (excl. decoder start, incl. the new
-        # token) — HF `topk_log_probs / ((cur_len + 1 - decoder_prompt_len)**lp)`.
+        # eos-hypothesis normalization: 4.18 divides by len(hyp) = cur tokens
+        # (incl. decoder start, EXCL. the eos; BeamHypotheses.add
+        # `sum_logprobs / len(hyp)**lp`); modern divides by the generated
+        # length incl. the eos (`(cur_len + 1 - decoder_prompt_len)**lp`) —
+        # the +start/−eos swap makes both equal `cur`.
         new_fin_scores = topk_scores / (cur.astype(jnp.float32) ** lp)
         new_fin_scores = jnp.where(admit, new_fin_scores, NEG_INF)
         fin_scores = jnp.concatenate([s.finished_scores, new_fin_scores], axis=1)  # [B, 3K]
         fin_seqs = jnp.concatenate([s.finished_seqs, cand_seqs], axis=1)
         fin_flags = jnp.concatenate([s.finished_flags, admit], axis=1)
-        top_fin_scores, top_fin_idx = jax.lax.top_k(fin_scores, k)
-        finished_seqs = gather_beams(fin_seqs, top_fin_idx, b, k)
-        finished_flags = gather_beams(fin_flags, top_fin_idx, b, k)
 
         # ----- running beams: top K candidates that did not hit a criterion -
         run_cand_scores = jnp.where(hits, NEG_INF, topk_scores)
         top_run_scores, top_run_idx = jax.lax.top_k(run_cand_scores, k)
         new_running_seqs = gather_beams(cand_seqs, top_run_idx, b, k)
         sel_beam = gather_beams(topk_beam, top_run_idx, b, k)  # [B, K] source beams
+
+        if legacy:
+            # 4.18 finalize: after the loop exits at max_length, ALL K running
+            # beams are added with denominator len(final_tokens) = max_length
+            # (incl. decoder start) — one longer than the modern generated-
+            # length denominator. Folded into the last step here.
+            final_admit = is_last & ~s.done[:, None] & jnp.ones((b, k), bool)
+            final_scores = jnp.where(
+                final_admit, top_run_scores / ((cur + 1).astype(jnp.float32) ** lp), NEG_INF
+            )
+            fin_scores = jnp.concatenate([fin_scores, final_scores], axis=1)  # [B, 4K]
+            fin_seqs = jnp.concatenate([fin_seqs, new_running_seqs], axis=1)
+            fin_flags = jnp.concatenate([fin_flags, final_admit], axis=1)
+
+        top_fin_scores, top_fin_idx = jax.lax.top_k(fin_scores, k)
+        finished_seqs = gather_beams(fin_seqs, top_fin_idx, b, k)
+        finished_flags = gather_beams(fin_flags, top_fin_idx, b, k)
 
         # reorder cache along the B*K dim (HF `_reorder_cache`, self-attn only —
         # cross-attn KV is beam-invariant; reordering it is a no-op we skip)
@@ -224,10 +248,14 @@ def beam_search(
         if cfg.early_stopping:
             newly_done = all_fin
         else:
-            # HF `_check_early_stop_heuristic`: once all K slots are finished,
-            # stop when the best running beam can no longer improve on the
-            # worst finished score (denominator = generated length so far).
-            best_possible = top_run_scores[:, 0] / (cur.astype(jnp.float32) ** lp)
+            # Once all K slots are finished, stop when no candidate can
+            # improve on the worst kept hypothesis. Numerator: 4.18 is_done
+            # uses `next_scores.max()` — the best of ALL 2K candidates,
+            # eos candidates included (beam_search.py BeamHypotheses.is_done);
+            # the modern heuristic uses only the best RUNNING beam
+            # (_check_early_stop_heuristic: running_beam_scores[:, :1]).
+            best_num = topk_scores[:, 0] if legacy else top_run_scores[:, 0]
+            best_possible = best_num / (cur.astype(jnp.float32) ** lp)
             worst_fin = jnp.min(top_fin_scores, axis=1)
             newly_done = all_fin & (best_possible <= worst_fin)
         done = s.done | newly_done
@@ -250,8 +278,8 @@ def beam_search(
 
     state = jax.lax.while_loop(cond, body, state)
 
-    # No separate finalize: the max_length stopping criterion folds the last
-    # step's running beams into the finished pool with generated-length
-    # normalization (HF's vectorized beam search has no legacy finalize).
+    # No separate host-side finalize: the last loop step folds the running
+    # beams into the finished pool (4.18 finalize semantics in legacy mode,
+    # generated-length normalization in modern mode — see body).
     # finished pool is already sorted descending; num_return_sequences=1.
     return state.finished_seqs[:, 0], state.finished_scores[:, 0]

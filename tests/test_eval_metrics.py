@@ -66,7 +66,9 @@ def test_compute_caption_metrics_shape():
     m = compute_caption_metrics([("a man walks", "a man walks"), ("a dog", "a cat")])
     assert set(m["bleu"]) == {"bleu1", "bleu2", "bleu3", "bleu4"}
     assert "rouge" in m["other metrics"] and "cider" in m["other metrics"]
-    assert m["other metrics"]["meteor"] is None  # no java/pycocoevalcap here
+    # no jar in this image → the meteor-1.5 python scorer fills in, tagged
+    assert 0.0 < m["other metrics"]["meteor"] <= 1.0
+    assert m["other metrics"]["meteor_scorer"] == "meteor15_py(exact+stem)"
 
 
 def test_heuristic_ner_basics():

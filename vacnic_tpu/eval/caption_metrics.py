@@ -169,21 +169,24 @@ def meteor_available() -> bool:
     return shutil.which("java") is not None
 
 
-def meteor_score(hypotheses: list[str], references: list[list[str]]):  # pragma: no cover
-    """Corpus METEOR via the pycocoevalcap Java pipe protocol when present;
-    None otherwise (the reference streams `EVAL ||| stat...` lines to the jar,
-    train...match.py:543-548)."""
-    if not meteor_available():
-        return None
-    try:
-        from pycocoevalcap.meteor.meteor import Meteor
-    except ImportError:
-        return None
-    scorer = Meteor()
-    gts = {i: refs for i, refs in enumerate(references)}
-    res = {i: [h] for i, h in enumerate(hypotheses)}
-    score, _ = scorer.compute_score(gts, res)
-    return score
+def meteor_score(hypotheses: list[str], references: list[list[str]]):
+    """Corpus METEOR. Preference order: (1) the real jar via pycocoevalcap or
+    METEOR_JAR — the reference's scorer (train...match.py:543-548); (2) the
+    jar-compatible meteor-1.5 Python implementation (eval/meteor15.py, exact+
+    stem matchers, en rank-task parameters). Returns (score, scorer_tag)."""
+    from vacnic_tpu.eval.meteor15 import JarMeteor, find_meteor_jar, meteor15_corpus
+
+    if meteor_available() and find_meteor_jar() is not None:  # pragma: no cover
+        try:
+            jar = JarMeteor()
+            try:
+                score, _ = jar.compute_score(hypotheses, references)
+                return score, "meteor-1.5.jar"
+            finally:
+                jar.close()
+        except Exception:
+            pass
+    return meteor15_corpus(hypotheses, references), "meteor15_py(exact+stem)"
 
 
 # ---------------------------------------------------------------------------
@@ -207,14 +210,16 @@ def compute_caption_metrics(pairs: Iterable[tuple[str, str]]) -> dict:
     from vacnic_tpu.eval.meteor_py import meteor_corpus
 
     b = bleu.compute()
+    meteor, meteor_src = (meteor_score(hyps, refs) if hyps else (0.0, "empty"))
     return {
         "bleu": {"bleu1": b[0], "bleu2": b[1], "bleu3": b[2], "bleu4": b[3]},
         "other metrics": {
             "rouge": sum(rouges) / len(rouges) if rouges else 0.0,
-            # jar-based METEOR when available; None otherwise — never silently
-            # substituted by the python variant below
-            "meteor": meteor_score(hyps, refs),
-            # always-available pure-python METEOR (exact+stem; see meteor_py)
+            # jar when present, else the jar-compatible meteor-1.5 python
+            # scorer; provenance always recorded in meteor_scorer
+            "meteor": meteor,
+            "meteor_scorer": meteor_src,
+            # legacy original-formulation METEOR (Banerjee-Lavie 2005)
             "meteor_py": meteor_corpus([(h, r[0]) for h, r in zip(hyps, refs)]),
             "cider": cider.compute(),
         },

@@ -43,6 +43,9 @@ def timed(fn, *args, n=3):
 
 
 def main():
+    import os
+    only = os.environ.get("BENCH_PART")  # run one variant per process: the
+    # remote compile service is erratic (45s-10min/program, CLAUDE.md)
     cfg = VacnicConfig.full_train()
     bart = cfg.bart
     key = jax.random.PRNGKey(0)
@@ -69,7 +72,8 @@ def main():
                                        jnp.arange(N_STEPS))
         return probe.sum()
 
-    results["full"] = timed(full, cache) / N_STEPS
+    if only in (None, "full"):
+        results["full"] = timed(full, cache) / N_STEPS
 
     # ---- matmuls only -------------------------------------------------------
     @jax.jit
@@ -92,7 +96,8 @@ def main():
         return probe.sum()
 
     x0 = jax.random.normal(key, (bk, d), jnp.bfloat16)
-    results["matmuls"] = timed(matmuls, x0) / N_STEPS
+    if only in (None, "matmuls"):
+        results["matmuls"] = timed(matmuls, x0) / N_STEPS
 
     # ---- matmuls + self-KV cache -------------------------------------------
     h_heads, hd = bart.decoder_attention_heads, bart.head_dim
@@ -124,7 +129,8 @@ def main():
         (x, _, _), probe = jax.lax.scan(body, (x0, self_k, self_v), jnp.arange(N_STEPS))
         return probe.sum()
 
-    results["+selfkv"] = timed(with_selfkv, x0, cache.self_k, cache.self_v) / N_STEPS
+    if only in (None, "selfkv"):
+        results["+selfkv"] = timed(with_selfkv, x0, cache.self_k, cache.self_v) / N_STEPS
 
     # ---- matmuls + cross-attention -------------------------------------------
     @jax.jit
@@ -147,7 +153,8 @@ def main():
         x, probe = jax.lax.scan(body, x0, jnp.arange(N_STEPS))
         return probe.sum()
 
-    results["+cross"] = timed(with_cross, x0) / N_STEPS
+    if only in (None, "cross"):
+        results["+cross"] = timed(with_cross, x0) / N_STEPS
 
     # ---- LM head alone --------------------------------------------------------
     @jax.jit
@@ -160,7 +167,8 @@ def main():
         x, probe = jax.lax.scan(body, x0, jnp.arange(N_STEPS))
         return probe.sum()
 
-    results["lm_head"] = timed(lm_head, x0) / N_STEPS
+    if only in (None, "lm_head"):
+        results["lm_head"] = timed(lm_head, x0) / N_STEPS
 
     for k, v in results.items():
         print(f"{k:10s} {v*1e3:8.3f} ms/step")

@@ -28,6 +28,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# This measures HOST-side pipeline throughput: force the CPU backend so
+# device_put lands in host RAM, not across the 25 MB/s TPU tunnel (the
+# sitecustomize overrides JAX_PLATFORMS — must re-force after import).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from vacnic_tpu.data.collate import collate  # noqa: E402
 from vacnic_tpu.data.datasets import NewsCaptionDataset  # noqa: E402
 from vacnic_tpu.data.pipeline import PrefetchLoader  # noqa: E402

@@ -1,0 +1,99 @@
+"""Fused Pallas decode-stack kernel: per-step logit parity against the
+reference XLA path (infer/decode_fast.decode_step) in interpret mode, plus
+multi-step cache-evolution parity. TPU-legal shapes (d mult 128, T mult 16,
+S mult 128) at small scale."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vacnic_tpu.core.config import VacnicConfig
+from vacnic_tpu.infer import decode_fast as DF
+from vacnic_tpu.kernels.decode_layer import ChunkPlan
+from vacnic_tpu.models import bart as B
+
+BATCH, BEAMS, MAX_LEN, S = 4, 2, 14, 128  # cache pads 14 -> 16
+PLAN = ChunkPlan(n_self=2, n_cross=2, n_ffn=2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = VacnicConfig.tiny().bart
+    cfg = dataclasses.replace(
+        cfg, d_model=128, decoder_attention_heads=2, encoder_attention_heads=2,
+        decoder_ffn_dim=256, encoder_ffn_dim=256, decoder_layers=2,
+        encoder_layers=2)
+    key = jax.random.PRNGKey(0)
+    params = B.bart_init(key, cfg)
+    dp = DF.build_decode_params(params)
+    enc_out = jax.random.normal(jax.random.fold_in(key, 1),
+                                (BATCH, S, cfg.d_model), jnp.bfloat16)
+    # a few padded encoder positions exercise the cross bias
+    bias = jnp.where(jnp.arange(S) < S - 8, 0.0, jnp.finfo(jnp.float32).min)
+    enc_bias = jnp.broadcast_to(bias[None, None, None, :], (BATCH, 1, 1, S))
+    # f32 throughout: XLA CPU's eager/thunk dot lacks bf16xbf16=f32 at these
+    # shapes (the REFERENCE path hits it; the kernel does not) — parity is
+    # about math, not storage dtype
+    dp = DF.build_decode_params(params, dtype=jnp.float32)
+    enc_out = enc_out.astype(jnp.float32)
+    cache = DF.build_decode_cache(params, enc_out, BEAMS, MAX_LEN, cfg,
+                                  dtype=jnp.float32, pad_to=16)
+    return cfg, params, dp, cache, enc_bias
+
+
+def test_cache_pad_to():
+    cfg = VacnicConfig.tiny().bart
+    params = B.bart_init(jax.random.PRNGKey(0), cfg)
+    enc = jnp.zeros((2, 16, cfg.d_model), jnp.bfloat16)
+    c = DF.build_decode_cache(params, enc, 2, 14, cfg, pad_to=16)
+    assert c.self_k.shape[2] == 16
+
+
+def _jit_steps(cfg, dp, params, enc_bias):
+    ref = jax.jit(lambda c, t, p: DF.decode_step(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32))
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+    return ref, pal
+
+
+def test_single_step_parity(setup):
+    cfg, params, dp, cache, enc_bias = setup
+    bk = BATCH * BEAMS
+    tok = jnp.full((bk, 1), 5, jnp.int32)
+    pos = jnp.int32(0)
+    ref, pal = _jit_steps(cfg, dp, params, enc_bias)
+    ref_logits, ref_cache = ref(cache, tok, pos)
+    pal_logits, pal_cache = pal(cache, tok, pos)
+    np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(
+        np.asarray(pal_cache.self_k, np.float32),
+        np.asarray(ref_cache.self_k, np.float32), atol=3e-2, rtol=3e-2)
+
+
+def test_multi_step_parity(setup):
+    """Run 5 greedy steps through both paths: token choices and caches must
+    stay in lockstep (cache evolution, t<=pos masking, beam-shared cross)."""
+    cfg, params, dp, cache, enc_bias = setup
+    bk = BATCH * BEAMS
+    ref, pal = _jit_steps(cfg, dp, params, enc_bias)
+
+    def roll(step_fn, cache):
+        tok = jnp.full((bk, 1), 2, jnp.int32)
+        toks = []
+        for pos in range(5):
+            logits, cache = step_fn(cache, tok, jnp.int32(pos))
+            tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+            toks.append(np.asarray(tok[:, 0]))
+        return np.stack(toks), logits
+
+    ref_toks, ref_logits = roll(ref, cache)
+    pal_toks, pal_logits = roll(pal, cache)
+    np.testing.assert_array_equal(pal_toks, ref_toks)
+    np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
+                               atol=5e-2, rtol=5e-2)

@@ -128,11 +128,15 @@ def build_decode_cache(
     max_len: int,
     cfg: BartConfig,
     dtype=jnp.bfloat16,
+    pad_to: int = 1,
 ) -> DecodeCache:
     """Cross K/V computed once per batch item; self cache zero-initialized at
-    batch·beams."""
+    batch·beams. `pad_to=16` rounds the T dim up to the bf16 sublane tile
+    (required by the fused Pallas decode kernel; attention masks t<=pos, so
+    padding rows are inert)."""
     layers = params["decoder"]["layers"]
     b, s, d = enc_out.shape
+    max_len = -(-max_len // pad_to) * pad_to
 
     wk = _stack(layers, "encoder_attn", "k_proj", "kernel").astype(dtype)  # [L, d, d]
     bk = _stack(layers, "encoder_attn", "k_proj", "bias").astype(jnp.float32)
@@ -239,5 +243,56 @@ def decode_step(
 
     w_lm = params["shared"]["weight"].astype(dtype)
     logits = jnp.dot(x, w_lm.T, preferred_element_type=jnp.float32)
+    logits = logits + params["final_logits_bias"].astype(jnp.float32)
+    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
+def decode_step_pallas(
+    dp: DecodeParams,
+    params: Params,
+    cache: DecodeCache,
+    tok: jax.Array,
+    pos: jax.Array,
+    enc_mask_bias: jax.Array,
+    cfg: BartConfig,
+    dtype=jnp.bfloat16,
+    plan=None,
+    interpret: bool = False,
+) -> tuple[jax.Array, DecodeCache]:
+    """decode_step with the layer stack fused into ONE Pallas kernel
+    (kernels/decode_layer.decode_stack): activations stay VMEM-resident
+    across all layers; weights and caches stream in phased blocks.
+    Embedding and LM head remain XLA ops outside the kernel.
+    Requires the cache T dim padded to a multiple of 16
+    (build_decode_cache(..., pad_to=16))."""
+    from vacnic_tpu.kernels.decode_layer import ChunkPlan, decode_stack
+
+    dec = params["decoder"]
+    d = cfg.d_model
+    x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(dtype)
+    scale = float(d) ** 0.5 if cfg.scale_embedding else 1.0
+    x = x * scale + jnp.take(dec["embed_positions"]["weight"], pos + POS_OFFSET,
+                             axis=0).astype(dtype)
+    x = layernorm(dec["layernorm_embedding"], x).astype(jnp.bfloat16)
+
+    if plan is None:
+        bk = tok.shape[0]
+        b = cache.cross_k.shape[1]
+        plan = ChunkPlan(
+            n_self=4 if bk % 4 == 0 else (2 if bk % 2 == 0 else 1),
+            n_cross=4 if b % 4 == 0 else (2 if b % 2 == 0 else 1),
+            n_ffn=2 if dp.w_fc1.shape[2] % 2 == 0 else 1,
+        )
+    x_out, k_new, v_new = decode_stack(
+        dp, x, pos, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v,
+        enc_mask_bias[:, 0, 0, :].astype(jnp.float32), cfg, plan=plan,
+        interpret=interpret,
+    )
+    new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, :, None, :],
+                                         (0, 0, pos, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, :, None, :],
+                                         (0, 0, pos, 0))
+    w_lm = params["shared"]["weight"].astype(dtype)
+    logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
     logits = logits + params["final_logits_bias"].astype(jnp.float32)
     return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)

@@ -1,0 +1,319 @@
+"""Fused decode-stack Pallas kernel: all decoder layers of one generation
+step in a single kernel.
+
+Why (CLAUDE.md round-2 #1): the XLA decode step is ~8.4 ms vs a ~2 ms HBM
+roofline — the per-step cost is spread across ~230 small ops inside the
+scanned layer bodies (reference hot loop: utils/test_mmbart_clip_ddp.py:
+758-842 steps the HF decoder layer-by-layer from Python). Fusing the whole
+stack into one kernel keeps the activations [B·K, d] resident in VMEM across
+layers and turns the weight/cache traffic into one continuous pipelined
+stream.
+
+Grid = (layers, phases); TPU grids are sequential, so VMEM scratch legally
+carries x across grid steps. Phases within a layer:
+
+  [0, NSELF)            self-attention over B·K row chunks — the new token's
+                        K/V are written into the VMEM cache block at `pos`
+                        (so attention needs no special last column) and
+                        emitted to `k_new/v_new` outputs for the HBM cache
+                        update outside;
+  [NSELF, +NCROSS)      cross-attention over batch chunks — KV is
+                        beam-invariant [B, H, hd, S] (bandwidth win of
+                        infer/decode_fast carried over); beams fold into the
+                        q rows;
+  [+NCROSS, +NFFN)      FFN with the 16 MB fc1/fc2 pair column-chunked,
+                        accumulated in an f32 scratch.
+
+Head-structured attention scores avoid sub-lane head layouts entirely:
+scores = ((q ⊙ K) reshaped) @ SEL, where SEL is the [D, H] block-diagonal
+head-selector — two small MXU matmuls instead of 16×64-lane relayouts.
+
+Numerics: bf16 weights/caches, f32 accumulation and softmax — identical to
+infer/decode_fast.decode_step (tests/test_decode_kernel.py pins per-step
+logits in interpret mode; the on-chip parity test runs under VACNIC_PALLAS).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vacnic_tpu.core.config import BartConfig
+from vacnic_tpu.models.layers import ACT2FN
+
+
+class ChunkPlan(NamedTuple):
+    n_self: int = 4   # B·K row chunks for self-attention
+    n_cross: int = 4  # batch chunks for cross-attention
+    n_ffn: int = 2    # fc1/fc2 column chunks
+    vmem_mb: int = 100
+
+    @property
+    def phases(self) -> int:
+        return self.n_self + self.n_cross + self.n_ffn
+
+
+def _kernel(
+    # inputs (refs), grid = (L, P)
+    pos_ref,       # [1,1] SMEM int32
+    x0_ref,        # [BK, d] bf16
+    w_qkv_ref,     # [1, d, 3d]
+    b_qkv_ref,     # [1, 3d] f32
+    w_so_ref,      # [1, d, d]
+    b_so_ref,      # [1, d] f32
+    ln_s_ref,      # [1, 2, d] f32
+    w_cq_ref,      # [1, d, d]
+    b_cq_ref,      # [1, d] f32
+    w_co_ref,      # [1, d, d]
+    b_co_ref,      # [1, d] f32
+    ln_c_ref,      # [1, 2, d] f32
+    w_fc1_ref,     # [1, d, FC]
+    b_fc1_ref,     # [1, FC] f32
+    w_fc2_ref,     # [1, FC, d]
+    b_fc2_ref,     # [1, d] f32
+    ln_f_ref,      # [1, 2, d] f32
+    self_k_ref,    # [1, BKC, T, D] bf16
+    self_v_ref,    # [1, BKC, T, D] bf16
+    cross_k_ref,   # [1, BC, H, hd, S] bf16
+    cross_v_ref,   # [1, BC, H, hd, S] bf16
+    enc_bias_ref,  # [BC, S] f32
+    # outputs
+    x_out_ref,     # [BK, d] bf16
+    k_new_ref,     # [1, BKC, D] bf16
+    v_new_ref,     # [1, BKC, D] bf16
+    # scratch
+    x_s,           # [BK, d] f32 — carried activation
+    x1_s,          # [BK, d] f32 — post-self-attn
+    acc_s,         # [BK, d] f32 — FFN accumulator
+    *,
+    plan: ChunkPlan,
+    cfg_heads: int,
+    cfg_hd: int,
+    beams: int,
+    act_name: str,
+    mm_dtype=jnp.bfloat16,
+):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    n_layers = pl.num_programs(0)
+    pos = pos_ref[0, 0]
+    act = ACT2FN[act_name]
+
+    bk, d = x_s.shape
+    bkc = self_k_ref.shape[1]
+    T = self_k_ref.shape[2]
+    bc = cross_k_ref.shape[1]
+    S = cross_k_ref.shape[4]
+    H, hd = cfg_heads, cfg_hd
+    fc = w_fc1_ref.shape[2]
+    scaling = hd**-0.5
+
+    # block-diagonal head selector [D, H]: SEL[dd, h] = 1 iff dd // hd == h
+    dd_ids = jax.lax.broadcasted_iota(jnp.int32, (d, H), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (d, H), 1)
+    sel = (dd_ids // hd == h_ids).astype(mm_dtype)
+
+    def ln(ref, x):
+        g, b = ref[0, 0, :], ref[0, 1, :]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * g[None, :] + b[None, :]
+
+    @pl.when((l == 0) & (p == 0))
+    def _load_x():
+        x_s[:] = x0_ref[:].astype(jnp.float32)
+
+    # ---------------- self-attention row chunk ------------------------------
+    @pl.when(p < plan.n_self)
+    def _self_attn():
+        rows = pl.ds(p * bkc, bkc)
+        x_in = x_s[rows, :]
+        qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
+                       preferred_element_type=jnp.float32) + b_qkv_ref[0][None, :])
+        q = qkv[:, :d] * scaling
+        k_new = qkv[:, d:2 * d].astype(self_k_ref.dtype)
+        v_new = qkv[:, 2 * d:].astype(self_k_ref.dtype)
+        k_new_ref[0] = k_new
+        v_new_ref[0] = v_new
+        # write the new token into the VMEM cache block at `pos`: attention
+        # then runs over the T rows with a t<=pos mask, no special column
+        self_k_ref[0, :, pos, :] = k_new
+        self_v_ref[0, :, pos, :] = v_new
+
+        kc = self_k_ref[0]  # [BKC, T, D]
+        # head-structured scores via the SEL matmul: no sub-lane relayout
+        prod = q[:, None, :].astype(mm_dtype) * kc.astype(mm_dtype)  # [BKC, T, D]
+        scores = jnp.dot(prod.reshape(bkc * T, d), sel,
+                         preferred_element_type=jnp.float32).reshape(bkc, T, H)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (bkc, T, H), 1)
+        scores = jnp.where(t_ids <= pos, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=1)
+        p_exp = jnp.dot(probs.reshape(bkc * T, H).astype(mm_dtype), sel.T,
+                        preferred_element_type=jnp.float32).reshape(bkc, T, d)
+        o = jnp.sum(p_exp * self_v_ref[0].astype(jnp.float32), axis=1)  # [BKC, d]
+        o = (jnp.dot(o.astype(mm_dtype), w_so_ref[0].astype(mm_dtype),
+                     preferred_element_type=jnp.float32) + b_so_ref[0][None, :])
+        x1_s[rows, :] = ln(ln_s_ref, x_in + o)
+
+    # ---------------- cross-attention batch chunk ---------------------------
+    @pl.when((p >= plan.n_self) & (p < plan.n_self + plan.n_cross))
+    def _cross_attn():
+        rows = pl.ds((p - plan.n_self) * bc * beams, bc * beams)
+        x_in = x1_s[rows, :]
+        q = (jnp.dot(x_in.astype(mm_dtype), w_cq_ref[0].astype(mm_dtype),
+                     preferred_element_type=jnp.float32) + b_cq_ref[0][None, :])
+        q = (q * scaling).astype(mm_dtype)
+        # [BC, K, H, hd] -> [BC, H, K, hd]
+        qh = q.reshape(bc, beams, H, hd).transpose(0, 2, 1, 3)
+        ck = cross_k_ref[0].astype(mm_dtype)  # [BC, H, hd, S]
+        scores = jax.lax.dot_general(
+            qh, ck, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)  # [BC, H, K, S]
+        scores = scores + enc_bias_ref[:, :][:, None, None, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(mm_dtype)
+        o = jax.lax.dot_general(
+            probs, cross_v_ref[0].astype(mm_dtype),
+            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)  # [BC, H, K, hd]
+        o = o.transpose(0, 2, 1, 3).reshape(bc * beams, d)
+        o = (jnp.dot(o.astype(mm_dtype), w_co_ref[0].astype(mm_dtype),
+                     preferred_element_type=jnp.float32) + b_co_ref[0][None, :])
+        # overwrite x1 in place with the post-cross state (next phase group
+        # reads x1 as FFN input)
+        x1_s[rows, :] = ln(ln_c_ref, x_in + o)
+
+    # ---------------- FFN column chunk --------------------------------------
+    @pl.when(p >= plan.n_self + plan.n_cross)
+    def _ffn():
+        f = p - plan.n_self - plan.n_cross
+        x_in = x1_s[:].astype(mm_dtype)
+        h = act(jnp.dot(x_in, w_fc1_ref[0].astype(mm_dtype),
+                        preferred_element_type=jnp.float32)
+                + b_fc1_ref[0][None, :]).astype(mm_dtype)
+        delta = jnp.dot(h, w_fc2_ref[0].astype(mm_dtype),
+                        preferred_element_type=jnp.float32)
+
+        @pl.when(f == 0)
+        def _init():
+            acc_s[:] = delta
+
+        @pl.when(f > 0)
+        def _acc():
+            acc_s[:] = acc_s[:] + delta
+
+        @pl.when(f == plan.n_ffn - 1)
+        def _finish():
+            x_s[:] = ln(ln_f_ref, x1_s[:] + acc_s[:] + b_fc2_ref[0][None, :])
+
+            @pl.when(l == n_layers - 1)
+            def _emit():
+                x_out_ref[:] = x_s[:].astype(x_out_ref.dtype)
+
+
+def decode_stack(
+    dp,                # infer.decode_fast.DecodeParams (stacked [L, ...])
+    x0: jax.Array,     # [BK, d] bf16 — embedded+LN'd token
+    pos: jax.Array,    # scalar int32
+    self_k: jax.Array,  # [L, BK, T, D] bf16, T % 16 == 0
+    self_v: jax.Array,
+    cross_k: jax.Array,  # [L, B, H, hd, S] bf16
+    cross_v: jax.Array,
+    enc_bias: jax.Array,  # [B, S] f32 additive pad bias
+    cfg: BartConfig,
+    plan: ChunkPlan = ChunkPlan(),
+    interpret: bool = False,
+):
+    """→ (x_out [BK, d] bf16, k_new [L, BK, D] bf16, v_new [L, BK, D] bf16).
+
+    The caller updates the HBM caches with k_new/v_new at `pos` (a [L,BK,1,D]
+    dynamic_update_slice — the kernel's in-VMEM cache write does not persist).
+    """
+    L, bk, T, d = self_k.shape
+    B = cross_k.shape[1]
+    H, hd, S = cross_k.shape[2], cross_k.shape[3], cross_k.shape[4]
+    beams = bk // B
+    fc = dp.w_fc1.shape[2] // plan.n_ffn
+    bkc = bk // plan.n_self
+    bc = B // plan.n_cross
+    assert bk % plan.n_self == 0 and B % plan.n_cross == 0
+    assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 16 == 0
+
+    n_self, n_cross = plan.n_self, plan.n_cross
+
+    def c(*idx):  # layer-constant block
+        return lambda l, p: (l, *idx)
+
+    grid = (L, plan.phases)
+    specs = [
+        pl.BlockSpec((1, 1), lambda l, p: (0, 0), memory_space=pltpu.SMEM),  # pos
+        pl.BlockSpec((bk, d), lambda l, p: (0, 0)),                          # x0
+        pl.BlockSpec((1, d, 3 * d), c(0, 0)),                                # w_qkv
+        pl.BlockSpec((1, 3 * d), c(0)),                                      # b_qkv
+        pl.BlockSpec((1, d, d), c(0, 0)),                                    # w_so
+        pl.BlockSpec((1, d), c(0)),                                          # b_so
+        pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_s
+        pl.BlockSpec((1, d, d), c(0, 0)),                                    # w_cq
+        pl.BlockSpec((1, d), c(0)),                                          # b_cq
+        pl.BlockSpec((1, d, d), c(0, 0)),                                    # w_co
+        pl.BlockSpec((1, d), c(0)),                                          # b_co
+        pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_c
+        pl.BlockSpec((1, d, fc),
+                     lambda l, p: (l, 0, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1))),
+        pl.BlockSpec((1, fc),
+                     lambda l, p: (l, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1))),
+        pl.BlockSpec((1, fc, d),
+                     lambda l, p: (l, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1), 0)),
+        pl.BlockSpec((1, d), c(0)),                                          # b_fc2
+        pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
+        pl.BlockSpec((1, bkc, T, d),
+                     lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0, 0)),    # self_k
+        pl.BlockSpec((1, bkc, T, d),
+                     lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0, 0)),    # self_v
+        pl.BlockSpec((1, bc, H, hd, S),
+                     lambda l, p: (l, jnp.clip(p - n_self, 0, n_cross - 1), 0, 0, 0)),
+        pl.BlockSpec((1, bc, H, hd, S),
+                     lambda l, p: (l, jnp.clip(p - n_self, 0, n_cross - 1), 0, 0, 0)),
+        pl.BlockSpec((bc, S),
+                     lambda l, p: (jnp.clip(p - n_self, 0, n_cross - 1), 0)),  # enc_bias
+    ]
+    out_specs = [
+        pl.BlockSpec((bk, d), lambda l, p: (0, 0)),                          # x_out
+        pl.BlockSpec((1, bkc, d), lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0)),
+        pl.BlockSpec((1, bkc, d), lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bk, d), x0.dtype),
+        jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
+        jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
+    ]
+    kernel = functools.partial(
+        _kernel, plan=plan, cfg_heads=H, cfg_hd=hd, beams=beams,
+        act_name=cfg.activation_function,
+        # pallas interpret mode on CPU lacks bf16xbf16=f32 dot thunks
+        mm_dtype=jnp.float32 if interpret else jnp.bfloat16)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=plan.vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(
+        pos.reshape(1, 1).astype(jnp.int32), x0,
+        dp.w_qkv, dp.b_qkv, dp.w_self_out, dp.b_self_out, dp.ln_self,
+        dp.w_cross_q, dp.b_cross_q, dp.w_cross_out, dp.b_cross_out, dp.ln_cross,
+        dp.w_fc1, dp.b_fc1, dp.w_fc2, dp.b_fc2, dp.ln_final,
+        self_k, self_v, cross_k, cross_v, enc_bias,
+    )

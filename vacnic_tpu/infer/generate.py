@@ -29,19 +29,29 @@ def _expand_to_beams(x: jax.Array, k: int) -> jax.Array:
 def _decode_from_encoder(
     params, enc_hidden, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype
 ):
+    import os
+
     from vacnic_tpu.infer import decode_fast as DF
     from vacnic_tpu.models.layers import expand_mask
 
     bsz = enc_hidden.shape[0]
     k = dcfg.num_beams
 
+    # fused Pallas decode-stack kernel (kernels/decode_layer) — opt-in
+    use_pallas = os.environ.get("VACNIC_PALLAS_DECODE") == "1"
     dp = DF.build_decode_params(params, dtype)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
-    cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype)
+    cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype,
+                                  pad_to=16 if use_pallas else 1)
     enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
-    def step_fn(tok, cache, pos):
-        return DF.decode_step(dp, params, cache, tok, pos, enc_bias, cfg, dtype)
+    if use_pallas:
+        def step_fn(tok, cache, pos):
+            return DF.decode_step_pallas(dp, params, cache, tok, pos, enc_bias,
+                                         cfg, dtype)
+    else:
+        def step_fn(tok, cache, pos):
+            return DF.decode_step(dp, params, cache, tok, pos, enc_bias, cfg, dtype)
 
     def reorder_cache_fn(cache, flat_sel):
         # stacked-layer cache: one gather per tensor on the batch·beam axis;

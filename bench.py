@@ -93,6 +93,11 @@ def main() -> None:
                 "value": round(cps, 3),
                 "unit": "captions/sec/chip",
                 "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+                # the reference publishes no throughput; the denominator is a
+                # documented ESTIMATE of its A100 batch-1 HF loop (BASELINE.md)
+                "baseline_basis": f"estimated {REFERENCE_CAPTIONS_PER_SEC} "
+                                  "captions/sec (A100 batch-1 HF generate loop; "
+                                  "repo publishes no number — see BASELINE.md)",
             }
         )
     )

@@ -50,14 +50,17 @@ def main():
     tok = jnp.full((bk, 1), 5, jnp.int32)
 
     if mode == "parity":
-        ref = jax.jit(lambda c, t, p: DF.decode_step(dp, params, c, t, p, enc_bias, bart))
-        pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
-            dp, params, c, t, p, enc_bias, bart, plan=PLAN))
+        # params passed as jit ARGS: closures become MLIR constants and the
+        # remote-compile POST 413s (CLAUDE.md)
+        ref = jax.jit(lambda dp, params, eb, c, t, p: DF.decode_step(
+            dp, params, c, t, p, eb, bart))
+        pal = jax.jit(lambda dp, params, eb, c, t, p: DF.decode_step_pallas(
+            dp, params, c, t, p, eb, bart, plan=PLAN))
         print("compiling ref...", file=sys.stderr, flush=True)
-        rl, rc = ref(cache, tok, jnp.int32(3))
+        rl, rc = ref(dp, params, enc_bias, cache, tok, jnp.int32(3))
         rl = np.asarray(rl)
         print("compiling pallas...", file=sys.stderr, flush=True)
-        plg, pc = pal(cache, tok, jnp.int32(3))
+        plg, pc = pal(dp, params, enc_bias, cache, tok, jnp.int32(3))
         plg = np.asarray(plg)
         adiff = np.max(np.abs(plg - rl))
         # compare on argmax + normalized logits (bf16 paths)
@@ -71,28 +74,29 @@ def main():
         return
 
     step_fns = {
-        "time": lambda c, t, p: DF.decode_step_pallas(
-            dp, params, c, t, p, enc_bias, bart, plan=PLAN),
-        "time_ref": lambda c, t, p: DF.decode_step(dp, params, c, t, p, enc_bias, bart),
+        "time": lambda dp, params, eb, c, t, p: DF.decode_step_pallas(
+            dp, params, c, t, p, eb, bart, plan=PLAN),
+        "time_ref": lambda dp, params, eb, c, t, p: DF.decode_step(
+            dp, params, c, t, p, eb, bart),
     }
-    step = step_fns[mode]
+    mode_holder = [mode]
 
     @jax.jit
-    def run(cache):
+    def run(dp, params, enc_bias, tok, cache):
         def body(carry, pos):
             tok, cache = carry
-            logits, cache = step(cache, tok, pos)
+            logits, cache = step_fns[mode_holder[0]](dp, params, enc_bias, cache, tok, pos)
             tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
             return (tok, cache), logits[0, 0]
         (_, _), probe = jax.lax.scan(body, (tok, cache), jnp.arange(N_STEPS))
         return probe.sum()
 
     print(f"compiling {mode} (plan={PLAN})...", file=sys.stderr, flush=True)
-    _ = np.asarray(run(cache))
+    _ = np.asarray(run(dp, params, enc_bias, tok, cache))
     best = np.inf
     for _i in range(3):
         t0 = time.perf_counter()
-        _ = np.asarray(run(cache))
+        _ = np.asarray(run(dp, params, enc_bias, tok, cache))
         best = min(best, time.perf_counter() - t0)
     print(f"{mode}: {best / N_STEPS * 1e3:.3f} ms/step (plan={PLAN})")
 

@@ -62,7 +62,7 @@ def main():
 
     # ---- full decode_step ---------------------------------------------------
     @jax.jit
-    def full(cache):
+    def full(dp, params, enc_bias, cache):
         def body(carry, pos):
             tok, cache = carry
             logits, cache = DF.decode_step(dp, params, cache, tok, pos, enc_bias, bart)
@@ -73,11 +73,11 @@ def main():
         return probe.sum()
 
     if only in (None, "full"):
-        results["full"] = timed(full, cache) / N_STEPS
+        results["full"] = timed(full, dp, params, enc_bias, cache) / N_STEPS
 
     # ---- matmuls only -------------------------------------------------------
     @jax.jit
-    def matmuls(x0):
+    def matmuls(dp, x0):
         def body(x, pos):
             def layer(x, w):
                 (w_qkv, w_so, w_cq, w_co, w1, w2) = w
@@ -97,13 +97,13 @@ def main():
 
     x0 = jax.random.normal(key, (bk, d), jnp.bfloat16)
     if only in (None, "matmuls"):
-        results["matmuls"] = timed(matmuls, x0) / N_STEPS
+        results["matmuls"] = timed(matmuls, dp, x0) / N_STEPS
 
     # ---- matmuls + self-KV cache -------------------------------------------
     h_heads, hd = bart.decoder_attention_heads, bart.head_dim
 
     @jax.jit
-    def with_selfkv(x0, self_k, self_v):
+    def with_selfkv(dp, x0, self_k, self_v):
         def body(carry, pos):
             x, self_k, self_v = carry
             t_idx = jnp.arange(T_MAX)
@@ -130,11 +130,11 @@ def main():
         return probe.sum()
 
     if only in (None, "selfkv"):
-        results["+selfkv"] = timed(with_selfkv, x0, cache.self_k, cache.self_v) / N_STEPS
+        results["+selfkv"] = timed(with_selfkv, dp, x0, cache.self_k, cache.self_v) / N_STEPS
 
     # ---- matmuls + cross-attention -------------------------------------------
     @jax.jit
-    def with_cross(x0):
+    def with_cross(dp, ck_all, cv_all, x0):
         def body(x, pos):
             def layer(x, w):
                 (w_cq, w_co, ck, cv) = w
@@ -148,19 +148,19 @@ def main():
                             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
                 return x, ()
             x, _ = jax.lax.scan(layer, x, (dp.w_cross_q, dp.w_cross_out,
-                                           cache.cross_k, cache.cross_v))
+                                           ck_all, cv_all))
             return x, x[0, 0]
         x, probe = jax.lax.scan(body, x0, jnp.arange(N_STEPS))
         return probe.sum()
 
     if only in (None, "cross"):
-        results["+cross"] = timed(with_cross, x0) / N_STEPS
+        results["+cross"] = timed(with_cross, dp, cache.cross_k, cache.cross_v, x0) / N_STEPS
 
     # ---- LM head alone --------------------------------------------------------
     @jax.jit
-    def lm_head(x0):
+    def lm_head(w_shared, x0):
         def body(x, pos):
-            logits = jnp.dot(x, params["shared"]["weight"].astype(jnp.bfloat16).T,
+            logits = jnp.dot(x, w_shared.astype(jnp.bfloat16).T,
                              preferred_element_type=jnp.float32)
             lp = jax.nn.log_softmax(logits, axis=-1)
             return x, lp[0, 0]
@@ -168,7 +168,7 @@ def main():
         return probe.sum()
 
     if only in (None, "lm_head"):
-        results["lm_head"] = timed(lm_head, x0) / N_STEPS
+        results["lm_head"] = timed(lm_head, params["shared"]["weight"], x0) / N_STEPS
 
     for k, v in results.items():
         print(f"{k:10s} {v*1e3:8.3f} ms/step")

@@ -45,6 +45,25 @@ POS_OFFSET = 2  # BartLearnedPositionalEmbedding offset (reference model :401-41
 # Init
 # ---------------------------------------------------------------------------
 
+
+# Remat policy for all jax.checkpoint sites (encoder/decoder/fusion layers).
+# Default saves nothing (max memory savings); VACNIC_REMAT_POLICY=dots saves
+# matmul outputs and recomputes only elementwise ops in the backward pass —
+# less recompute FLOPs for a modest activation-memory increase (the knob for
+# the train-throughput push; measured via scripts/bench_train.py).
+import os as _os
+
+
+def remat_policy():
+    if _os.environ.get("VACNIC_REMAT_POLICY") == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
+def checkpoint(fn, static_argnums=()):
+    return jax.checkpoint(fn, static_argnums=static_argnums, policy=remat_policy())
+
+
 def encoder_layer_init(key, cfg: BartConfig) -> Params:
     ks = jax.random.split(key, 3)
     return {
@@ -216,7 +235,7 @@ def encoder_fwd(
     def layer_fn(p, x, mask, key, cfg, has_dropout):
         return encoder_layer_fwd(p, x, mask, cfg, RngStream(key if has_dropout else None))
 
-    layer = jax.checkpoint(layer_fn, static_argnums=(4, 5)) if remat else layer_fn
+    layer = checkpoint(layer_fn, static_argnums=(4, 5)) if remat else layer_fn
     for i, p in enumerate(enc["layers"]):
         x = layer(p, x, mask, jax.random.fold_in(base_key, i), cfg, has_dropout)
     return x
@@ -271,7 +290,7 @@ def decoder_fwd(
         return out
 
     use_remat = remat and cache is None
-    layer = jax.checkpoint(layer_fn, static_argnums=(6, 7)) if use_remat else None
+    layer = checkpoint(layer_fn, static_argnums=(6, 7)) if use_remat else None
 
     new_layer_caches = []
     for i, p in enumerate(dec["layers"]):

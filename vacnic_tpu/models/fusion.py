@@ -378,7 +378,7 @@ def mm_encoder_fwd(
         return fusion_encoder_layer_fwd(p, x, attn_mask, streams, masks, cfg, fcfg, rs,
                                         fused, add_ner)
 
-    layer = jax.checkpoint(layer_fn, static_argnums=(6, 7, 8, 9, 10)) if remat else layer_fn
+    layer = B.checkpoint(layer_fn, static_argnums=(6, 7, 8, 9, 10)) if remat else layer_fn
 
     for i, p in enumerate(enc["layers"]):
         x, streams = layer(p, x, attn_mask, streams, masks, jax.random.fold_in(base_key, i),

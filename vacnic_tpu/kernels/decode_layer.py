@@ -63,19 +63,19 @@ def _kernel(
     pos_ref,       # [1,1] SMEM int32
     x0_ref,        # [BK, d] bf16
     w_qkv_ref,     # [1, d, 3d]
-    b_qkv_ref,     # [1, 3d] f32
+    b_qkv_ref,     # [1, 1, 3d] f32
     w_so_ref,      # [1, d, d]
-    b_so_ref,      # [1, d] f32
+    b_so_ref,      # [1, 1, d] f32
     ln_s_ref,      # [1, 2, d] f32
     w_cq_ref,      # [1, d, d]
-    b_cq_ref,      # [1, d] f32
+    b_cq_ref,      # [1, 1, d] f32
     w_co_ref,      # [1, d, d]
-    b_co_ref,      # [1, d] f32
+    b_co_ref,      # [1, 1, d] f32
     ln_c_ref,      # [1, 2, d] f32
     w_fc1_ref,     # [1, d, FC]
-    b_fc1_ref,     # [1, FC] f32
+    b_fc1_ref,     # [1, 1, FC] f32
     w_fc2_ref,     # [1, FC, d]
-    b_fc2_ref,     # [1, d] f32
+    b_fc2_ref,     # [1, 1, d] f32
     ln_f_ref,      # [1, 2, d] f32
     self_k_ref,    # [1, BKC, T, D] bf16
     self_v_ref,    # [1, BKC, T, D] bf16
@@ -102,7 +102,21 @@ def _kernel(
     p = pl.program_id(1)
     n_layers = pl.num_programs(0)
     pos = pos_ref[0, 0]
-    act = ACT2FN[act_name]
+    if act_name == "gelu":
+        # Exact gelu. Mosaic lowers neither erf nor erfc; use the
+        # Abramowitz-Stegun 7.1.26 rational erf approximation (|err|<=1.5e-7,
+        # below bf16 resolution -> numerically identical to exact gelu here).
+        def _erf(x):
+            s = jnp.sign(x)
+            a = jnp.abs(x)
+            t = 1.0 / (1.0 + 0.3275911 * a)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            return s * (1.0 - poly * jnp.exp(-a * a))
+
+        act = lambda x: 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+    else:
+        act = ACT2FN[act_name]
 
     bk, d = x_s.shape
     bkc = self_k_ref.shape[1]
@@ -134,30 +148,38 @@ def _kernel(
         rows = pl.ds(p * bkc, bkc)
         x_in = x_s[rows, :]
         qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
-                       preferred_element_type=jnp.float32) + b_qkv_ref[0][None, :])
+                       preferred_element_type=jnp.float32) + b_qkv_ref[0, 0][None, :])
         q = qkv[:, :d] * scaling
         k_new = qkv[:, d:2 * d].astype(self_k_ref.dtype)
         v_new = qkv[:, 2 * d:].astype(self_k_ref.dtype)
         k_new_ref[0] = k_new
         v_new_ref[0] = v_new
-        # write the new token into the VMEM cache block at `pos`: attention
-        # then runs over the T rows with a t<=pos mask, no special column
-        self_k_ref[0, :, pos, :] = k_new
-        self_v_ref[0, :, pos, :] = v_new
 
+        # Mosaic cannot store at a dynamic sublane index (bf16 packing), so
+        # the new token is NOT written into the VMEM cache block; instead its
+        # score/value merge in via masks. Cache rows >= pos are exactly zero
+        # (zero-init; the outer update writes only decoded positions), so the
+        # value sum over the full T plus a separate pos term is exact.
         kc = self_k_ref[0]  # [BKC, T, D]
         # head-structured scores via the SEL matmul: no sub-lane relayout
-        prod = q[:, None, :].astype(mm_dtype) * kc.astype(mm_dtype)  # [BKC, T, D]
+        qm = q.astype(mm_dtype)
+        prod = qm[:, None, :] * kc.astype(mm_dtype)  # [BKC, T, D]
         scores = jnp.dot(prod.reshape(bkc * T, d), sel,
                          preferred_element_type=jnp.float32).reshape(bkc, T, H)
+        s_new = jnp.dot(qm * k_new.astype(mm_dtype), sel,
+                        preferred_element_type=jnp.float32)  # [BKC, H]
         t_ids = jax.lax.broadcasted_iota(jnp.int32, (bkc, T, H), 1)
-        scores = jnp.where(t_ids <= pos, scores, -jnp.inf)
+        scores = jnp.where(t_ids == pos, s_new[:, None, :],
+                           jnp.where(t_ids < pos, scores, -jnp.inf))
         probs = jax.nn.softmax(scores, axis=1)
         p_exp = jnp.dot(probs.reshape(bkc * T, H).astype(mm_dtype), sel.T,
                         preferred_element_type=jnp.float32).reshape(bkc, T, d)
         o = jnp.sum(p_exp * self_v_ref[0].astype(jnp.float32), axis=1)  # [BKC, d]
+        d_ids = jax.lax.broadcasted_iota(jnp.int32, (bkc, T, d), 1)
+        p_at_pos = jnp.sum(jnp.where(d_ids == pos, p_exp, 0.0), axis=1)
+        o = o + p_at_pos * v_new.astype(jnp.float32)
         o = (jnp.dot(o.astype(mm_dtype), w_so_ref[0].astype(mm_dtype),
-                     preferred_element_type=jnp.float32) + b_so_ref[0][None, :])
+                     preferred_element_type=jnp.float32) + b_so_ref[0, 0][None, :])
         x1_s[rows, :] = ln(ln_s_ref, x_in + o)
 
     # ---------------- cross-attention batch chunk ---------------------------
@@ -166,23 +188,42 @@ def _kernel(
         rows = pl.ds((p - plan.n_self) * bc * beams, bc * beams)
         x_in = x1_s[rows, :]
         q = (jnp.dot(x_in.astype(mm_dtype), w_cq_ref[0].astype(mm_dtype),
-                     preferred_element_type=jnp.float32) + b_cq_ref[0][None, :])
+                     preferred_element_type=jnp.float32) + b_cq_ref[0, 0][None, :])
         q = (q * scaling).astype(mm_dtype)
-        # [BC, K, H, hd] -> [BC, H, K, hd]
-        qh = q.reshape(bc, beams, H, hd).transpose(0, 2, 1, 3)
-        ck = cross_k_ref[0].astype(mm_dtype)  # [BC, H, hd, S]
-        scores = jax.lax.dot_general(
-            qh, ck, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)  # [BC, H, K, S]
-        scores = scores + enc_bias_ref[:, :][:, None, None, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(mm_dtype)
-        o = jax.lax.dot_general(
-            probs, cross_v_ref[0].astype(mm_dtype),
-            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)  # [BC, H, K, hd]
-        o = o.transpose(0, 2, 1, 3).reshape(bc * beams, d)
+        # Mosaic constraints shape this block: no lane-splitting reshapes
+        # ([R, D]→[..., H, hd]), one batch dim per matmul, and sublane splits
+        # only when the new second-to-last dim is 8-aligned — beams=5 is not.
+        # So: (1) pad the beam rows 5→KP=8 with a constant 0/1 expansion
+        # MATMUL (E @ q — VMEM-only, trivial FLOPs), making [BC, KP, ·]
+        # splits legal; (2) loop heads statically over lane slices with one
+        # batched matmul per head. KV traffic is unchanged: each head block
+        # is read once.
+        kp = 8
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (bc * kp, bc * beams), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (bc * kp, bc * beams), 1)
+        expand = ((c_ids == (r_ids // kp) * beams + r_ids % kp)
+                  & (r_ids % kp < beams)).astype(mm_dtype)
+        q_pad = jnp.dot(expand, q, preferred_element_type=jnp.float32
+                        ).astype(mm_dtype)  # [BC*KP, d]
+        bias = enc_bias_ref[:, :][:, None, :]  # [BC, 1, S]
+        outs = []
+        for h in range(H):
+            q_h = q_pad[:, h * hd:(h + 1) * hd].reshape(bc, kp, hd)
+            k_h = cross_k_ref[0, :, h].astype(mm_dtype)  # [BC, hd, S]
+            s_h = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) + bias  # [BC, KP, S]
+            p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
+            outs.append(jax.lax.dot_general(
+                p_h, cross_v_ref[0, :, h].astype(mm_dtype),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))  # [BC, KP, hd]
+        o_pad = jnp.concatenate(outs, axis=-1).reshape(bc * kp, d)  # merge ok
+        # unpad KP→beams with the transposed selector
+        o = jnp.dot(expand.T, o_pad.astype(mm_dtype),
+                    preferred_element_type=jnp.float32)  # [BC*beams, d]
         o = (jnp.dot(o.astype(mm_dtype), w_co_ref[0].astype(mm_dtype),
-                     preferred_element_type=jnp.float32) + b_co_ref[0][None, :])
+                     preferred_element_type=jnp.float32) + b_co_ref[0, 0][None, :])
         # overwrite x1 in place with the post-cross state (next phase group
         # reads x1 as FFN input)
         x1_s[rows, :] = ln(ln_c_ref, x_in + o)
@@ -194,7 +235,7 @@ def _kernel(
         x_in = x1_s[:].astype(mm_dtype)
         h = act(jnp.dot(x_in, w_fc1_ref[0].astype(mm_dtype),
                         preferred_element_type=jnp.float32)
-                + b_fc1_ref[0][None, :]).astype(mm_dtype)
+                + b_fc1_ref[0, 0][None, :]).astype(mm_dtype)
         delta = jnp.dot(h, w_fc2_ref[0].astype(mm_dtype),
                         preferred_element_type=jnp.float32)
 
@@ -208,7 +249,7 @@ def _kernel(
 
         @pl.when(f == plan.n_ffn - 1)
         def _finish():
-            x_s[:] = ln(ln_f_ref, x1_s[:] + acc_s[:] + b_fc2_ref[0][None, :])
+            x_s[:] = ln(ln_f_ref, x1_s[:] + acc_s[:] + b_fc2_ref[0, 0][None, :])
 
             @pl.when(l == n_layers - 1)
             def _emit():
@@ -253,22 +294,22 @@ def decode_stack(
         pl.BlockSpec((1, 1), lambda l, p: (0, 0), memory_space=pltpu.SMEM),  # pos
         pl.BlockSpec((bk, d), lambda l, p: (0, 0)),                          # x0
         pl.BlockSpec((1, d, 3 * d), c(0, 0)),                                # w_qkv
-        pl.BlockSpec((1, 3 * d), c(0)),                                      # b_qkv
+        pl.BlockSpec((1, 1, 3 * d), c(0, 0)),                                # b_qkv
         pl.BlockSpec((1, d, d), c(0, 0)),                                    # w_so
-        pl.BlockSpec((1, d), c(0)),                                          # b_so
+        pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_so
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_s
         pl.BlockSpec((1, d, d), c(0, 0)),                                    # w_cq
-        pl.BlockSpec((1, d), c(0)),                                          # b_cq
+        pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_cq
         pl.BlockSpec((1, d, d), c(0, 0)),                                    # w_co
-        pl.BlockSpec((1, d), c(0)),                                          # b_co
+        pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_co
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_c
         pl.BlockSpec((1, d, fc),
                      lambda l, p: (l, 0, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1))),
-        pl.BlockSpec((1, fc),
-                     lambda l, p: (l, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1))),
+        pl.BlockSpec((1, 1, fc),
+                     lambda l, p: (l, 0, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1))),
         pl.BlockSpec((1, fc, d),
                      lambda l, p: (l, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1), 0)),
-        pl.BlockSpec((1, d), c(0)),                                          # b_fc2
+        pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_fc2
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
         pl.BlockSpec((1, bkc, T, d),
                      lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0, 0)),    # self_k
@@ -312,8 +353,11 @@ def decode_stack(
         interpret=interpret,
     )(
         pos.reshape(1, 1).astype(jnp.int32), x0,
-        dp.w_qkv, dp.b_qkv, dp.w_self_out, dp.b_self_out, dp.ln_self,
-        dp.w_cross_q, dp.b_cross_q, dp.w_cross_out, dp.b_cross_out, dp.ln_cross,
-        dp.w_fc1, dp.b_fc1, dp.w_fc2, dp.b_fc2, dp.ln_final,
+        dp.w_qkv, dp.b_qkv[:, None, :], dp.w_self_out,
+        dp.b_self_out[:, None, :], dp.ln_self,
+        dp.w_cross_q, dp.b_cross_q[:, None, :], dp.w_cross_out,
+        dp.b_cross_out[:, None, :], dp.ln_cross,
+        dp.w_fc1, dp.b_fc1[:, None, :], dp.w_fc2, dp.b_fc2[:, None, :],
+        dp.ln_final,
         self_k, self_v, cross_k, cross_v, enc_bias,
     )

@@ -66,6 +66,29 @@ class DecodeCache(NamedTuple):
     # relayout copy per layer per step.
     cross_k: jax.Array  # [L, B, H, hd, S] — beam-invariant, never reordered
     cross_v: jax.Array  # [L, B, H, hd, S]
+    # Deferred new-token rows (pallas path, defer_update=True): the step does
+    # NOT write the cache; the beam reorder folds the row write into its full
+    # gather pass — one cache pass per step instead of two.
+    k_pend: jax.Array | None = None  # [L, B·K, D]
+    v_pend: jax.Array | None = None  # [L, B·K, D]
+    pend_pos: jax.Array | None = None  # scalar int32
+
+
+def apply_pending(cache: DecodeCache, flat_sel=None) -> DecodeCache:
+    """Fold the deferred K/V rows (optionally beam-reordered by `flat_sel`)
+    into the self cache at `pend_pos`, in the same pass as the reorder."""
+    k_pend, v_pend = cache.k_pend, cache.v_pend
+    self_k, self_v = cache.self_k, cache.self_v
+    if flat_sel is not None:
+        self_k = jnp.take(self_k, flat_sel, axis=1)
+        self_v = jnp.take(self_v, flat_sel, axis=1)
+        k_pend = jnp.take(k_pend, flat_sel, axis=1)
+        v_pend = jnp.take(v_pend, flat_sel, axis=1)
+    self_k = jax.lax.dynamic_update_slice(
+        self_k, k_pend[:, :, None, :], (0, 0, cache.pend_pos, 0))
+    self_v = jax.lax.dynamic_update_slice(
+        self_v, v_pend[:, :, None, :], (0, 0, cache.pend_pos, 0))
+    return cache._replace(self_k=self_k, self_v=self_v)
 
 
 def _stack(layers, *path):
@@ -129,6 +152,7 @@ def build_decode_cache(
     cfg: BartConfig,
     dtype=jnp.bfloat16,
     pad_to: int = 1,
+    with_pending: bool = False,
 ) -> DecodeCache:
     """Cross K/V computed once per batch item; self cache zero-initialized at
     batch·beams. `pad_to=16` rounds the T dim up to the bf16 sublane tile
@@ -153,11 +177,14 @@ def build_decode_cache(
         return x.transpose(0, 1, 3, 4, 2)  # [L, B, H, hd, S]
 
     n_layers = len(layers)
+    pend = (jnp.zeros((n_layers, b * num_beams, d), dtype) if with_pending else None)
     return DecodeCache(
         self_k=jnp.zeros((n_layers, b * num_beams, max_len, d), dtype),
         self_v=jnp.zeros((n_layers, b * num_beams, max_len, d), dtype),
         cross_k=project(wk, bk),
         cross_v=project(wv, bv),
+        k_pend=pend, v_pend=pend,
+        pend_pos=jnp.int32(0) if with_pending else None,
     )
 
 
@@ -258,6 +285,7 @@ def decode_step_pallas(
     dtype=jnp.bfloat16,
     plan=None,
     interpret: bool = False,
+    defer_update: bool = False,
 ) -> tuple[jax.Array, DecodeCache]:
     """decode_step with the layer stack fused into ONE Pallas kernel
     (kernels/decode_layer.decode_stack): activations stay VMEM-resident
@@ -288,11 +316,17 @@ def decode_step_pallas(
         enc_mask_bias[:, 0, 0, :].astype(jnp.float32), cfg, plan=plan,
         interpret=interpret,
     )
-    new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, :, None, :],
-                                         (0, 0, pos, 0))
-    new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, :, None, :],
-                                         (0, 0, pos, 0))
+    if defer_update:
+        # one cache pass per step: the beam reorder applies these rows
+        new_cache = cache._replace(k_pend=k_new, v_pend=v_new, pend_pos=pos)
+    else:
+        new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, :, None, :],
+                                             (0, 0, pos, 0))
+        new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, :, None, :],
+                                             (0, 0, pos, 0))
+        new_cache = DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
+                                cache.k_pend, cache.v_pend, cache.pend_pos)
     w_lm = params["shared"]["weight"].astype(dtype)
     logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
     logits = logits + params["final_logits_bias"].astype(jnp.float32)
-    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    return logits, new_cache

@@ -39,28 +39,31 @@ def _decode_from_encoder(
 
     # fused Pallas decode-stack kernel (kernels/decode_layer) — opt-in
     use_pallas = os.environ.get("VACNIC_PALLAS_DECODE") == "1"
+    pad_to = 16 if use_pallas else int(os.environ.get("VACNIC_CACHE_PAD", 1))
     dp = DF.build_decode_params(params, dtype)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
     cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype,
-                                  pad_to=16 if use_pallas else 1)
+                                  pad_to=pad_to, with_pending=use_pallas)
     enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
     if use_pallas:
         def step_fn(tok, cache, pos):
             return DF.decode_step_pallas(dp, params, cache, tok, pos, enc_bias,
-                                         cfg, dtype)
+                                         cfg, dtype, defer_update=True)
     else:
         def step_fn(tok, cache, pos):
             return DF.decode_step(dp, params, cache, tok, pos, enc_bias, cfg, dtype)
 
     def reorder_cache_fn(cache, flat_sel):
         # stacked-layer cache: one gather per tensor on the batch·beam axis;
-        # cross K/V is beam-invariant (HF `_reorder_cache` reorders self only)
-        return DF.DecodeCache(
+        # cross K/V is beam-invariant (HF `_reorder_cache` reorders self only).
+        # Pallas path: the step DEFERRED its new-token row write; fold it into
+        # this same gather pass (one full cache pass per step, not two).
+        if cache.k_pend is not None:
+            return DF.apply_pending(cache, flat_sel)
+        return cache._replace(
             self_k=jnp.take(cache.self_k, flat_sel, axis=1),
             self_v=jnp.take(cache.self_v, flat_sel, axis=1),
-            cross_k=cache.cross_k,
-            cross_v=cache.cross_v,
         )
 
     return beam_search(

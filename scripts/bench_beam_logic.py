@@ -29,6 +29,7 @@ from vacnic_tpu.infer.beam_search import beam_search
 
 B, K, V, L = 32, 5, 50267, 50
 N_LAYERS, D, T = 12, 1024, int(os.environ.get("CACHE_T", 64))
+LAYOUT = os.environ.get("CACHE_LAYOUT", "lb")  # lb: [L,BK,T,D]; bl: [BK,L,T,D]
 
 
 def main():
@@ -44,6 +45,14 @@ def main():
             return {"x": jnp.zeros((B * K, 8), jnp.float32)}
     else:
         def mk_cache():
+            if LAYOUT == "bl":
+                return {
+                    "self_k": jnp.zeros((B * K, N_LAYERS, T, D), jnp.bfloat16),
+                    "self_v": jnp.zeros((B * K, N_LAYERS, T, D), jnp.bfloat16),
+                    "pend_k": jnp.zeros((B * K, N_LAYERS, D), jnp.bfloat16),
+                    "pend_v": jnp.zeros((B * K, N_LAYERS, D), jnp.bfloat16),
+                    "pos": jnp.int32(0),
+                }
             return {
                 "self_k": jnp.zeros((N_LAYERS, B * K, T, D), jnp.bfloat16),
                 "self_v": jnp.zeros((N_LAYERS, B * K, T, D), jnp.bfloat16),
@@ -57,15 +66,24 @@ def main():
         def step_fn(tok, cache, pos):
             logits = jnp.take(tbl, tok[:, 0] % 256, axis=0).astype(jnp.float32)
             if mode != "logic":
+                # logits must DEPEND on the cache or XLA dead-code-eliminates
+                # the whole reorder (measured: it does)
+                probe = (cache["self_k"][0, :, 0, 0] if LAYOUT == "bl"
+                         else cache["self_k"][:, :, 0, 0].sum(0)).astype(jnp.float32)
+                if LAYOUT == "bl":
+                    probe = cache["self_k"][:, 0, 0, 0].astype(jnp.float32)
+                logits = logits + probe[:, None] * 1e-9
                 cache = dict(cache)
                 cache["pos"] = pos
+                cache["pend_k"] = cache["pend_k"] + 1e-6  # rows change per step
             return logits, cache
 
         def reorder(cache, flat_sel):
+            axis = 0 if LAYOUT == "bl" else 1
             out = dict(cache)
             for n, p in (("self_k", "pend_k"), ("self_v", "pend_v")):
-                g = jnp.take(cache[n], flat_sel, axis=1)
-                rows = jnp.take(cache[p], flat_sel, axis=1)
+                g = jnp.take(cache[n], flat_sel, axis=axis)
+                rows = jnp.take(cache[p], flat_sel, axis=axis)
                 out[n] = jax.lax.dynamic_update_slice(
                     g, rows[:, :, None, :], (0, 0, cache["pos"], 0))
             return out
@@ -83,7 +101,7 @@ def main():
         t0 = time.perf_counter()
         _ = np.asarray(run(table, cache))
         best = min(best, time.perf_counter() - t0)
-    print(f"{mode} T={T}: {best / L * 1e3:.3f} ms/step")
+    print(f"{mode} T={T} layout={LAYOUT}: {best / L * 1e3:.3f} ms/step")
 
 
 if __name__ == "__main__":

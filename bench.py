@@ -15,7 +15,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# fused Pallas decode-stack kernel by default (kernels/decode_layer.py):
+# measured 44.8 vs 40.0 captions/sec on v5e; on-chip parity in
+# scripts/bench_decode_kernel.py. Opt out with VACNIC_PALLAS_DECODE=0.
+os.environ.setdefault("VACNIC_PALLAS_DECODE", "1")
 
 import jax
 import jax.numpy as jnp

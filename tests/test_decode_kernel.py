@@ -97,3 +97,41 @@ def test_multi_step_parity(setup):
     np.testing.assert_array_equal(pal_toks, ref_toks)
     np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_generate_mm_pallas_flag_token_parity(monkeypatch):
+    """End-to-end beam search through generate_mm with VACNIC_PALLAS_DECODE=1
+    (auto-interpret on CPU): token-identical to the XLA path."""
+    import dataclasses
+
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    cfg = VacnicConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
+    batch = synthetic_batch(cfg, batch_size=2, seed=0)
+    dcfg = dataclasses.replace(cfg.decode, num_beams=2, max_length=8)
+
+    def run():
+        generate_mm._clear_cache() if hasattr(generate_mm, "_clear_cache") else None
+        seqs, scores = generate_mm(
+            params, batch["article_ids"], create_mask(batch["article_ids"]),
+            batch["image_cls"], cfg.bart, cfg.fusion, dcfg,
+            face_features=batch["face_emb"],
+            face_mask=face_mask_from_emb(batch["face_emb"]),
+            name_ids=batch["names_art_ids"],
+            name_mask=create_mask(batch["names_art_ids"]),
+        )
+        return np.asarray(seqs), np.asarray(scores)
+
+    monkeypatch.delenv("VACNIC_PALLAS_DECODE", raising=False)
+    ref_seqs, ref_scores = run()
+    monkeypatch.setenv("VACNIC_PALLAS_DECODE", "1")
+    jax.clear_caches()  # the env flag is read at trace time
+    pal_seqs, pal_scores = run()
+    np.testing.assert_array_equal(pal_seqs, ref_seqs)
+    np.testing.assert_allclose(pal_scores, ref_scores, rtol=2e-3, atol=2e-3)

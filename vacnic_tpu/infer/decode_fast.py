@@ -295,6 +295,8 @@ def decode_step_pallas(
     (build_decode_cache(..., pad_to=16))."""
     from vacnic_tpu.kernels.decode_layer import ChunkPlan, decode_stack
 
+    # Mosaic targets TPU; on CPU (tests, BENCH_TINY smoke) run interpreted
+    interpret = interpret or jax.default_backend() == "cpu"
     dec = params["decoder"]
     d = cfg.d_model
     x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(dtype)

@@ -65,3 +65,21 @@ def test_remat_trains_with_dropout():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
+
+
+def test_remat_names_policy_grad_matches(monkeypatch):
+    """VACNIC_REMAT_POLICY=names:ffn_pre,attn_qkv (the measured train-throughput
+    config) must not change gradients — only what is stored vs recomputed."""
+    cfg_r, params, teacher, batch, _ = _setup(True)
+    cfg_n = dataclasses.replace(
+        cfg_r, train=dataclasses.replace(cfg_r.train, grad_checkpoint=False)
+    )
+
+    def loss(cfg):
+        return lambda p: compute_losses(p, teacher, batch, cfg, dropout_rng=None)[0]
+
+    g_n = jax.grad(loss(cfg_n))(params)
+    monkeypatch.setenv("VACNIC_REMAT_POLICY", "names:ffn_pre,attn_qkv")
+    g_r = jax.grad(loss(cfg_r))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)

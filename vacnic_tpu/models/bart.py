@@ -26,6 +26,7 @@ from vacnic_tpu.models.layers import (
     Params,
     RngStream,
     causal_mask,
+    ckpt_name,
     dropout,
     embed,
     embedding_init,
@@ -47,17 +48,31 @@ POS_OFFSET = 2  # BartLearnedPositionalEmbedding offset (reference model :401-41
 
 
 # Remat policy for all jax.checkpoint sites (encoder/decoder/fusion layers).
-# Default saves nothing (max memory savings); VACNIC_REMAT_POLICY=dots saves
-# matmul outputs and recomputes only elementwise ops in the backward pass —
-# less recompute FLOPs for a modest activation-memory increase (the knob for
-# the train-throughput push; measured via scripts/bench_train.py).
+# Default saves nothing (max memory savings). Knobs (scripts/bench_train.py):
+#   VACNIC_REMAT_POLICY=dots              save every matmul output — measured
+#                                         OOM on 16 GB v5e at batch>=16 (the
+#                                         [B,H,S,S] attention scores dominate);
+#   VACNIC_REMAT_POLICY=names:ffn_pre,attn_qkv
+#                                         save only the named tensors: fc1
+#                                         pre-activation ("ffn_pre") skips the
+#                                         largest recompute matmul, q/k/v
+#                                         projections ("attn_qkv") skip three
+#                                         more while still recomputing the
+#                                         quadratic score/softmax tensors —
+#                                         the memory/recompute sweet spot.
 import os as _os
 
 
 def remat_policy():
-    if _os.environ.get("VACNIC_REMAT_POLICY") == "dots":
+    v = _os.environ.get("VACNIC_REMAT_POLICY", "")
+    if v == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if v.startswith("names:"):
+        return jax.checkpoint_policies.save_only_these_names(
+            *[n for n in v[len("names:"):].split(",") if n])
     return None
+
+
 
 
 def checkpoint(fn, static_argnums=()):
@@ -155,7 +170,7 @@ def encoder_layer_fwd(p: Params, x: jax.Array, attn_mask, cfg: BartConfig, rngs:
     x = layernorm(p["self_attn_layer_norm"], residual + h)
 
     residual = x
-    h = act(linear(p["fc1"], x))
+    h = act(ckpt_name(linear(p["fc1"], x), "ffn_pre"))
     h = dropout(h, cfg.activation_dropout, rngs.next())
     h = linear(p["fc2"], h)
     h = dropout(h, cfg.dropout, rngs.next())
@@ -199,7 +214,7 @@ def decoder_layer_fwd(
         cross_cache = cache.get("cross") if cache else None
 
     residual = x
-    h = act(linear(p["fc1"], x))
+    h = act(ckpt_name(linear(p["fc1"], x), "ffn_pre"))
     h = dropout(h, cfg.activation_dropout, rngs.next())
     h = linear(p["fc2"], h)
     h = dropout(h, cfg.dropout, rngs.next())

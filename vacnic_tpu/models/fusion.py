@@ -46,6 +46,7 @@ from vacnic_tpu.models.layers import (
     ACT2FN,
     Params,
     RngStream,
+    ckpt_name,
     dropout,
     embed,
     embedding_init,
@@ -197,7 +198,7 @@ def multimodal_bart_init(key, cfg: BartConfig, fcfg: FusionConfig) -> Params:
 
 def _residual_ffn(up: Params, down: Params, ln: Params, x, act, cfg, rngs: RngStream):
     residual = x
-    h = act(linear(up, x))
+    h = act(ckpt_name(linear(up, x), "ffn_pre"))
     h = dropout(h, cfg.activation_dropout, rngs.next())
     h = linear(down, h)
     h = dropout(h, cfg.dropout, rngs.next())

@@ -17,6 +17,15 @@ import jax.numpy as jnp
 
 Params = dict[str, Any]
 
+
+def ckpt_name(x: jax.Array, name: str) -> jax.Array:
+    """`jax.ad_checkpoint.checkpoint_name` tag: marks a tensor as saveable
+    under a `save_only_these_names` remat policy (models/bart.remat_policy,
+    VACNIC_REMAT_POLICY=names:...). A no-op otherwise."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, name)
+
 ACT2FN: dict[str, Callable] = {
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
@@ -191,7 +200,7 @@ def mha(
     head_dim = d // num_heads
     scaling = head_dim**-0.5
 
-    q = _split_heads(linear(p["q_proj"], hidden) * scaling, num_heads)
+    q = _split_heads(ckpt_name(linear(p["q_proj"], hidden), "attn_qkv") * scaling, num_heads)
 
     is_cross = key_value is not None
     if cache is not None and is_cross:
@@ -199,8 +208,8 @@ def mha(
         new_cache = cache
     else:
         src = key_value if is_cross else hidden
-        k = _split_heads(linear(p["k_proj"], src), num_heads)
-        v = _split_heads(linear(p["v_proj"], src), num_heads)
+        k = _split_heads(ckpt_name(linear(p["k_proj"], src), "attn_qkv"), num_heads)
+        v = _split_heads(ckpt_name(linear(p["v_proj"], src), "attn_qkv"), num_heads)
         if cache is not None:  # cached self-attention (decode step)
             idx = cache_index
             k = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, idx, 0))

@@ -41,7 +41,11 @@ def setup():
     enc_out = enc_out.astype(jnp.float32)
     cache = DF.build_decode_cache(params, enc_out, BEAMS, MAX_LEN, cfg,
                                   dtype=jnp.float32, pad_to=16)
-    return cfg, params, dp, cache, enc_bias
+    # pallas path uses the time-major + ancestry cache
+    cache_tm = DF.build_decode_cache(params, enc_out, BEAMS, MAX_LEN, cfg,
+                                     dtype=jnp.float32, pad_to=16,
+                                     time_major=True)
+    return cfg, params, dp, cache, cache_tm, enc_bias
 
 
 def test_cache_pad_to():
@@ -62,24 +66,24 @@ def _jit_steps(cfg, dp, params, enc_bias):
 
 
 def test_single_step_parity(setup):
-    cfg, params, dp, cache, enc_bias = setup
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
     bk = BATCH * BEAMS
     tok = jnp.full((bk, 1), 5, jnp.int32)
     pos = jnp.int32(0)
     ref, pal = _jit_steps(cfg, dp, params, enc_bias)
     ref_logits, ref_cache = ref(cache, tok, pos)
-    pal_logits, pal_cache = pal(cache, tok, pos)
+    pal_logits, pal_cache = pal(cache_tm, tok, pos)
     np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
                                atol=3e-2, rtol=3e-2)
     np.testing.assert_allclose(
-        np.asarray(pal_cache.self_k, np.float32),
+        np.asarray(pal_cache.self_k.transpose(0, 2, 1, 3), np.float32),
         np.asarray(ref_cache.self_k, np.float32), atol=3e-2, rtol=3e-2)
 
 
 def test_multi_step_parity(setup):
     """Run 5 greedy steps through both paths: token choices and caches must
     stay in lockstep (cache evolution, t<=pos masking, beam-shared cross)."""
-    cfg, params, dp, cache, enc_bias = setup
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
     bk = BATCH * BEAMS
     ref, pal = _jit_steps(cfg, dp, params, enc_bias)
 
@@ -93,10 +97,37 @@ def test_multi_step_parity(setup):
         return np.stack(toks), logits
 
     ref_toks, ref_logits = roll(ref, cache)
-    pal_toks, pal_logits = roll(pal, cache)
+    pal_toks, pal_logits = roll(pal, cache_tm)
     np.testing.assert_array_equal(pal_toks, ref_toks)
     np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_beam_reorder_ancestry_parity(setup):
+    """Random within-group beam selections over 5 steps: the pallas path's
+    ancestry recompose (reorder_anc — no cache gather) must produce logits
+    identical to the XLA path's physical cache gather."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    ref, pal = _jit_steps(cfg, dp, params, enc_bias)
+    rng = np.random.RandomState(0)
+    tok = jnp.full((bk, 1), 2, jnp.int32)
+
+    for pos in range(5):
+        ref_logits, cache = ref(cache, tok, jnp.int32(pos))
+        pal_logits, cache_tm = pal(cache_tm, tok, jnp.int32(pos))
+        np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
+                                   atol=5e-2, rtol=5e-2)
+        # random beam selection within each batch item's group
+        sel = np.arange(bk).reshape(BATCH, BEAMS)
+        sel = np.stack([g[rng.randint(0, BEAMS, BEAMS)] for g in sel]).reshape(-1)
+        flat_sel = jnp.asarray(sel, jnp.int32)
+        cache = cache._replace(
+            self_k=jnp.take(cache.self_k, flat_sel, axis=1),
+            self_v=jnp.take(cache.self_v, flat_sel, axis=1))
+        cache_tm = DF.reorder_anc(cache_tm, flat_sel)
+        tok = jnp.take(jnp.argmax(ref_logits, axis=-1).astype(jnp.int32),
+                       flat_sel, axis=0)[:, None]
 
 
 def test_generate_mm_pallas_flag_token_parity(monkeypatch):

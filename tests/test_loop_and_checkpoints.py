@@ -90,3 +90,30 @@ def test_generate_captions_output_format(setup, tmp_path):
     with open(out_path) as f:
         loaded = json.load(f)
     assert "bleu" in loaded
+
+
+def test_fit_teacher_cache_epochs(setup, tmp_path):
+    """fit() with teacher_cache=True: epoch 1 populates the pooled-teacher
+    cache from step metrics, epoch 2 feeds it back (the cached-path program
+    has a different batch pytree — both must run and train identically
+    finitely). sample_idx rides through collate/_device_feed."""
+    import dataclasses
+
+    cfg, params, teacher, key = setup
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_epochs=2, teacher_cache=True))
+    init_fn, step_fn = make_train_step(cfg, 10)
+    state = init_fn(params, teacher, jax.random.fold_in(key, 2))
+    loader = _loader(cfg, 2)
+    for i, b in enumerate(loader):
+        b["sample_idx"] = np.arange(i * 4, i * 4 + 4, dtype=np.int32)
+    tok = HashWordTokenizer(cfg.bart.vocab_size)
+    state = fit(cfg, state, step_fn, loader, _loader(cfg, 1, with_captions=True),
+                str(tmp_path / "run"), tokenizer=tok)
+    assert int(state.step) == 4
+    # the teacher_pooled vectors must never leak into the metrics JSONL
+    import json as _json
+
+    with open(str(tmp_path / "run" / "run.metrics.jsonl")) as f:
+        for line in f:
+            assert "teacher_pooled" not in _json.loads(line)

@@ -145,3 +145,38 @@ def test_extract_visual_prompt(setup):
     want = F.map_image_prompt(params["model"]["encoder"], batch["image_cls"],
                               cfg.bart, cfg.fusion)
     np.testing.assert_allclose(np.asarray(prompt), np.asarray(want), rtol=1e-6)
+
+
+def test_teacher_pooled_cache_matches_teacher_forward():
+    """compute_losses with a precomputed `teacher_pooled` batch entry must
+    reproduce the teacher-forward loss exactly (the teacher is deterministic;
+    train/loop.py caches its pooled state across epochs)."""
+    import dataclasses
+
+    import numpy as np
+
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.core.rng import set_random_seed
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.models import bart as B
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.train.train_step import compute_losses
+
+    cfg = VacnicConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, teacher_cache=True,
+                                       grad_checkpoint=False))
+    key = set_random_seed(0)
+    params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
+    teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
+    batch = synthetic_batch(cfg, 4)
+
+    l1, m1 = compute_losses(params, teacher, batch, cfg, dropout_rng=None)
+    assert "teacher_pooled" in m1  # surfaced for the loop to cache
+    batch2 = dict(batch)
+    batch2["teacher_pooled"] = m1["teacher_pooled"]
+    l2, m2 = compute_losses(params, teacher, batch2, cfg, dropout_rng=None)
+    assert "teacher_pooled" not in m2  # cached path skips the teacher forward
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(m1["margin_loss"]), float(m2["margin_loss"]),
+                               rtol=1e-6, atol=1e-6)

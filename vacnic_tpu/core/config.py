@@ -214,6 +214,11 @@ class TrainConfig:
     perturb_bos: bool = False
     grad_checkpoint: bool = True
     compute_dtype: str = "bfloat16"  # forward/backward compute; params stay fp32
+    # Cache the frozen CoLaM teacher's pooled state per sample after its first
+    # computation and skip the teacher forward on later epochs (the teacher is
+    # deterministic — numerics-identical; saves its full BART forward per step
+    # for epochs >= 2; train/loop.py + losses.colam_margin_from_pooled).
+    teacher_cache: bool = False
 
 
 @dataclass(frozen=True)

@@ -112,4 +112,7 @@ def collate(
         batch["pixels"] = np.stack([s["pixels"] for s in samples]).astype(np.float32)
     if "person_id_positions" in samples[0]:
         batch["person_id_positions"] = [s["person_id_positions"] for s in samples]
+    if "sample_idx" in samples[0]:
+        # dataset row ids — host-side identity for the teacher-pooled cache
+        batch["sample_idx"] = np.asarray([s["sample_idx"] for s in samples], np.int32)
     return batch

@@ -167,6 +167,7 @@ class NewsCaptionDataset:
 
         tok = self.tokenizer
         sample: dict[str, Any] = {
+            "sample_idx": index,  # stable row id (train/loop.py teacher cache)
             "article": article,
             "caption": caption,
             "article_ids": tok.encode(article, max_length=self.max_article_len),

@@ -58,37 +58,34 @@ class DecodeParams(NamedTuple):
 
 
 class DecodeCache(NamedTuple):
-    self_k: jax.Array  # [L, B·K, T, D]
-    self_v: jax.Array  # [L, B·K, T, D]
+    # XLA path: [L, B·K, T, D]; Pallas path (time_major): [L, T, B·K, D].
+    self_k: jax.Array
+    self_v: jax.Array
     # Cross K/V in [L, B, H, hd, S]: both attention contractions (over hd for
     # scores, over S for values) hit the native (sublane, lane) = (hd, S) tile
     # with zero padding — the [..., S, hd=64] layout pads 2× and forces a
     # relayout copy per layer per step.
     cross_k: jax.Array  # [L, B, H, hd, S] — beam-invariant, never reordered
     cross_v: jax.Array  # [L, B, H, hd, S]
-    # Deferred new-token rows (pallas path, defer_update=True): the step does
-    # NOT write the cache; the beam reorder folds the row write into its full
-    # gather pass — one cache pass per step instead of two.
-    k_pend: jax.Array | None = None  # [L, B·K, D]
-    v_pend: jax.Array | None = None  # [L, B·K, D]
-    pend_pos: jax.Array | None = None  # scalar int32
+    # Pallas path: the self cache is NEVER gathered on beam select. Each step
+    # writes its new K/V row at time `pos` in its OWN row slot; `anc[t, c]`
+    # records which physical row holds beam c's step-t entry, and the kernel
+    # beam-aligns rows on the fly (kernels/decode_layer). Replaces a
+    # ~1 GB/step HBM gather with a [T, BK] int32 recompose.
+    anc: jax.Array | None = None  # [T, B·K] int32 ancestry matrix
+    pos: jax.Array | None = None  # scalar int32 — last written time row
 
 
-def apply_pending(cache: DecodeCache, flat_sel=None) -> DecodeCache:
-    """Fold the deferred K/V rows (optionally beam-reordered by `flat_sel`)
-    into the self cache at `pend_pos`, in the same pass as the reorder."""
-    k_pend, v_pend = cache.k_pend, cache.v_pend
-    self_k, self_v = cache.self_k, cache.self_v
-    if flat_sel is not None:
-        self_k = jnp.take(self_k, flat_sel, axis=1)
-        self_v = jnp.take(self_v, flat_sel, axis=1)
-        k_pend = jnp.take(k_pend, flat_sel, axis=1)
-        v_pend = jnp.take(v_pend, flat_sel, axis=1)
-    self_k = jax.lax.dynamic_update_slice(
-        self_k, k_pend[:, :, None, :], (0, 0, cache.pend_pos, 0))
-    self_v = jax.lax.dynamic_update_slice(
-        self_v, v_pend[:, :, None, :], (0, 0, cache.pend_pos, 0))
-    return cache._replace(self_k=self_k, self_v=self_v)
+def reorder_anc(cache: DecodeCache, flat_sel: jax.Array) -> DecodeCache:
+    """Beam 'reorder' for the pallas path: compose the ancestry with the beam
+    selection instead of gathering cache data. Rows after `pos` reset to
+    identity so the next step's row write (row r holds beam r's new K/V)
+    composes correctly on the following select."""
+    t_len, bk = cache.anc.shape
+    anc = jnp.take(cache.anc, flat_sel, axis=1)
+    t_ids = jnp.arange(t_len)[:, None]
+    anc = jnp.where(t_ids <= cache.pos, anc, jnp.arange(bk, dtype=anc.dtype)[None, :])
+    return cache._replace(anc=anc)
 
 
 def _stack(layers, *path):
@@ -152,12 +149,13 @@ def build_decode_cache(
     cfg: BartConfig,
     dtype=jnp.bfloat16,
     pad_to: int = 1,
-    with_pending: bool = False,
+    time_major: bool = False,
 ) -> DecodeCache:
     """Cross K/V computed once per batch item; self cache zero-initialized at
     batch·beams. `pad_to=16` rounds the T dim up to the bf16 sublane tile
     (required by the fused Pallas decode kernel; attention masks t<=pos, so
-    padding rows are inert)."""
+    padding rows are inert). `time_major=True` lays the self cache out
+    [L, T, B·K, D] and attaches the identity ancestry matrix (pallas path)."""
     layers = params["decoder"]["layers"]
     b, s, d = enc_out.shape
     max_len = -(-max_len // pad_to) * pad_to
@@ -177,14 +175,17 @@ def build_decode_cache(
         return x.transpose(0, 1, 3, 4, 2)  # [L, B, H, hd, S]
 
     n_layers = len(layers)
-    pend = (jnp.zeros((n_layers, b * num_beams, d), dtype) if with_pending else None)
+    bkt = b * num_beams
+    shape = ((n_layers, max_len, bkt, d) if time_major
+             else (n_layers, bkt, max_len, d))
     return DecodeCache(
-        self_k=jnp.zeros((n_layers, b * num_beams, max_len, d), dtype),
-        self_v=jnp.zeros((n_layers, b * num_beams, max_len, d), dtype),
+        self_k=jnp.zeros(shape, dtype),
+        self_v=jnp.zeros(shape, dtype),
         cross_k=project(wk, bk),
         cross_v=project(wv, bv),
-        k_pend=pend, v_pend=pend,
-        pend_pos=jnp.int32(0) if with_pending else None,
+        anc=(jnp.broadcast_to(jnp.arange(bkt, dtype=jnp.int32)[None, :],
+                              (max_len, bkt)) if time_major else None),
+        pos=jnp.int32(0) if time_major else None,
     )
 
 
@@ -285,14 +286,16 @@ def decode_step_pallas(
     dtype=jnp.bfloat16,
     plan=None,
     interpret: bool = False,
-    defer_update: bool = False,
 ) -> tuple[jax.Array, DecodeCache]:
     """decode_step with the layer stack fused into ONE Pallas kernel
     (kernels/decode_layer.decode_stack): activations stay VMEM-resident
     across all layers; weights and caches stream in phased blocks.
     Embedding and LM head remain XLA ops outside the kernel.
-    Requires the cache T dim padded to a multiple of 16
-    (build_decode_cache(..., pad_to=16))."""
+
+    Requires a time-major cache with ancestry
+    (build_decode_cache(..., pad_to=16, time_major=True)): each step writes
+    its K/V row into the raw cache at `pos`; the paired beam reorder is
+    `reorder_anc` (index recompose — no cache gather)."""
     from vacnic_tpu.kernels.decode_layer import ChunkPlan, decode_stack
 
     # Mosaic targets TPU; on CPU (tests, BENCH_TINY smoke) run interpreted
@@ -305,29 +308,32 @@ def decode_step_pallas(
                              axis=0).astype(dtype)
     x = layernorm(dec["layernorm_embedding"], x).astype(jnp.bfloat16)
 
+    bk = tok.shape[0]
+    b = cache.cross_k.shape[1]
+    beams = bk // b
     if plan is None:
-        bk = tok.shape[0]
-        b = cache.cross_k.shape[1]
+        # self chunks must hold whole beam groups (ancestry is chunk-local)
+        n_self = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
         plan = ChunkPlan(
-            n_self=4 if bk % 4 == 0 else (2 if bk % 2 == 0 else 1),
+            n_self=n_self,
             n_cross=4 if b % 4 == 0 else (2 if b % 2 == 0 else 1),
             n_ffn=2 if dp.w_fc1.shape[2] % 2 == 0 else 1,
         )
+    bkc = bk // plan.n_self
+    mm_dtype = jnp.float32 if interpret else jnp.bfloat16
+    group = (jnp.arange(bk, dtype=jnp.int32) // bkc) * bkc
+    anc_hot = jax.nn.one_hot(cache.anc - group[None, :], bkc, dtype=mm_dtype)
     x_out, k_new, v_new = decode_stack(
-        dp, x, pos, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v,
+        dp, x, pos, cache.self_k, cache.self_v, anc_hot,
+        cache.cross_k, cache.cross_v,
         enc_mask_bias[:, 0, 0, :].astype(jnp.float32), cfg, plan=plan,
         interpret=interpret,
     )
-    if defer_update:
-        # one cache pass per step: the beam reorder applies these rows
-        new_cache = cache._replace(k_pend=k_new, v_pend=v_new, pend_pos=pos)
-    else:
-        new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, :, None, :],
-                                             (0, 0, pos, 0))
-        new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, :, None, :],
-                                             (0, 0, pos, 0))
-        new_cache = DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
-                                cache.k_pend, cache.v_pend, cache.pend_pos)
+    new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, None, :, :],
+                                         (0, pos, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],
+                                         (0, pos, 0, 0))
+    new_cache = cache._replace(self_k=new_k, self_v=new_v, pos=pos)
     w_lm = params["shared"]["weight"].astype(dtype)
     logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
     logits = logits + params["final_logits_bias"].astype(jnp.float32)

@@ -43,24 +43,25 @@ def _decode_from_encoder(
     dp = DF.build_decode_params(params, dtype)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
     cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype,
-                                  pad_to=pad_to, with_pending=use_pallas)
+                                  pad_to=pad_to, time_major=use_pallas)
     enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
     if use_pallas:
         def step_fn(tok, cache, pos):
             return DF.decode_step_pallas(dp, params, cache, tok, pos, enc_bias,
-                                         cfg, dtype, defer_update=True)
+                                         cfg, dtype)
     else:
         def step_fn(tok, cache, pos):
             return DF.decode_step(dp, params, cache, tok, pos, enc_bias, cfg, dtype)
 
     def reorder_cache_fn(cache, flat_sel):
-        # stacked-layer cache: one gather per tensor on the batch·beam axis;
-        # cross K/V is beam-invariant (HF `_reorder_cache` reorders self only).
-        # Pallas path: the step DEFERRED its new-token row write; fold it into
-        # this same gather pass (one full cache pass per step, not two).
-        if cache.k_pend is not None:
-            return DF.apply_pending(cache, flat_sel)
+        # Pallas path: beam select recomposes the [T, BK] ancestry matrix —
+        # the raw self cache is write-once per row and never gathered.
+        if cache.anc is not None:
+            return DF.reorder_anc(cache, flat_sel)
+        # XLA path: stacked-layer cache, one gather per tensor on the
+        # batch·beam axis; cross K/V is beam-invariant (HF `_reorder_cache`
+        # reorders self only).
         return cache._replace(
             self_k=jnp.take(cache.self_k, flat_sel, axis=1),
             self_v=jnp.take(cache.self_v, flat_sel, axis=1),

@@ -12,11 +12,17 @@ stream.
 Grid = (layers, phases); TPU grids are sequential, so VMEM scratch legally
 carries x across grid steps. Phases within a layer:
 
-  [0, NSELF)            self-attention over B·K row chunks — the new token's
-                        K/V are written into the VMEM cache block at `pos`
-                        (so attention needs no special last column) and
-                        emitted to `k_new/v_new` outputs for the HBM cache
-                        update outside;
+  [0, NSELF)            self-attention over B·K row chunks. The self cache is
+                        stored TIME-MAJOR [L, T, BK, D] and is NEVER
+                        physically reordered on beam select: instead the beam
+                        ancestry matrix anc[t, c] (= which physical row holds
+                        beam c's K/V from step t) enters as a per-chunk
+                        one-hot [T, BKC, BKC], and the kernel gathers K/V
+                        with two batched MXU matmuls (≈20 GFLOP/step — noise
+                        next to the ~2.6 ms/step HBM gather it replaces).
+                        The new token's K/V merge in via masks (cache row
+                        `pos` is still zero) and are emitted to `k_new/v_new`
+                        for the row write outside;
   [NSELF, +NCROSS)      cross-attention over batch chunks — KV is
                         beam-invariant [B, H, hd, S] (bandwidth win of
                         infer/decode_fast carried over); beams fold into the
@@ -51,7 +57,7 @@ class ChunkPlan(NamedTuple):
     n_self: int = 4   # B·K row chunks for self-attention
     n_cross: int = 4  # batch chunks for cross-attention
     n_ffn: int = 2    # fc1/fc2 column chunks
-    vmem_mb: int = 100
+    vmem_mb: int = 110  # v5e VMEM is 128 MB; the ancestry-gather buffers need >100
 
     @property
     def phases(self) -> int:
@@ -77,8 +83,9 @@ def _kernel(
     w_fc2_ref,     # [1, FC, d]
     b_fc2_ref,     # [1, 1, d] f32
     ln_f_ref,      # [1, 2, d] f32
-    self_k_ref,    # [1, BKC, T, D] bf16
-    self_v_ref,    # [1, BKC, T, D] bf16
+    self_k_ref,    # [1, T, BKC, D] bf16 (time-major, unreordered)
+    self_v_ref,    # [1, T, BKC, D] bf16
+    anc_ref,       # [T, BKC, BKC] — ancestry one-hot for this row chunk
     cross_k_ref,   # [1, BC, H, hd, S] bf16
     cross_v_ref,   # [1, BC, H, hd, S] bf16
     enc_bias_ref,  # [BC, S] f32
@@ -119,8 +126,8 @@ def _kernel(
         act = ACT2FN[act_name]
 
     bk, d = x_s.shape
-    bkc = self_k_ref.shape[1]
-    T = self_k_ref.shape[2]
+    T = self_k_ref.shape[1]
+    bkc = self_k_ref.shape[2]
     bc = cross_k_ref.shape[1]
     S = cross_k_ref.shape[4]
     H, hd = cfg_heads, cfg_hd
@@ -155,28 +162,51 @@ def _kernel(
         k_new_ref[0] = k_new
         v_new_ref[0] = v_new
 
+        # Beam-align the raw (never-reordered) cache rows with the ancestry
+        # one-hot: K_g[t, c, :] = K_raw[t, anc[t, c], :] as a batched matmul
+        # (batch dim = T; Mosaic allows exactly one batch dim per matmul).
+        # V gathers AFTER the K-side buffers die — the VMEM stack budget is
+        # ~111 MB and both gathered copies live at once blow it by ~6 MB.
+        anc = anc_ref[...].astype(mm_dtype)  # [T, C, C']
+        gat = lambda ref: jax.lax.dot_general(
+            anc, ref[0].astype(mm_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(mm_dtype)  # [T, C, D]
+        kg = gat(self_k_ref)
+
         # Mosaic cannot store at a dynamic sublane index (bf16 packing), so
-        # the new token is NOT written into the VMEM cache block; instead its
-        # score/value merge in via masks. Cache rows >= pos are exactly zero
-        # (zero-init; the outer update writes only decoded positions), so the
-        # value sum over the full T plus a separate pos term is exact.
-        kc = self_k_ref[0]  # [BKC, T, D]
-        # head-structured scores via the SEL matmul: no sub-lane relayout
+        # the new token is NOT in the cache; its score/value merge in via
+        # masks. Cache row `pos` is exactly zero (zero-init; the outer update
+        # writes rows only after the step), so summing values over the full T
+        # plus a separate pos term is exact.
         qm = q.astype(mm_dtype)
-        prod = qm[:, None, :] * kc.astype(mm_dtype)  # [BKC, T, D]
-        scores = jnp.dot(prod.reshape(bkc * T, d), sel,
-                         preferred_element_type=jnp.float32).reshape(bkc, T, H)
+        # head-structured scores via the SEL matmul: no sub-lane relayout
+        prod = qm[None, :, :] * kg  # [T, C, D]
+        scores = jnp.dot(prod.reshape(T * bkc, d), sel,
+                         preferred_element_type=jnp.float32).reshape(T, bkc, H)
         s_new = jnp.dot(qm * k_new.astype(mm_dtype), sel,
-                        preferred_element_type=jnp.float32)  # [BKC, H]
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, (bkc, T, H), 1)
-        scores = jnp.where(t_ids == pos, s_new[:, None, :],
+                        preferred_element_type=jnp.float32)  # [C, H]
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, bkc, H), 0)
+        scores = jnp.where(t_ids == pos, s_new[None, :, :],
                            jnp.where(t_ids < pos, scores, -jnp.inf))
-        probs = jax.nn.softmax(scores, axis=1)
-        p_exp = jnp.dot(probs.reshape(bkc * T, H).astype(mm_dtype), sel.T,
-                        preferred_element_type=jnp.float32).reshape(bkc, T, d)
-        o = jnp.sum(p_exp * self_v_ref[0].astype(jnp.float32), axis=1)  # [BKC, d]
-        d_ids = jax.lax.broadcasted_iota(jnp.int32, (bkc, T, d), 1)
-        p_at_pos = jnp.sum(jnp.where(d_ids == pos, p_exp, 0.0), axis=1)
+        probs = jax.nn.softmax(scores, axis=0)
+        # p_exp in mm_dtype: numerically the XLA path's bf16 probs cast (SEL.T
+        # entries are 0/1 — this is a broadcast, not a contraction), and the
+        # f32 copy would blow the VMEM stack
+        p_exp = jnp.dot(probs.reshape(T * bkc, H).astype(mm_dtype), sel.T,
+                        preferred_element_type=jnp.float32
+                        ).astype(mm_dtype).reshape(T, bkc, d)
+        vg = gat(self_v_ref)
+        # value sum in T-chunks: full-size f32 temps for the cast/mask would
+        # likewise re-blow the VMEM stack
+        o = jnp.zeros((bkc, d), jnp.float32)
+        p_at_pos = jnp.zeros((bkc, d), jnp.float32)
+        tb = 16
+        for tc in range(0, T, tb):
+            seg = p_exp[tc:tc + tb].astype(jnp.float32)  # [tb, C, D]
+            o = o + jnp.sum(seg * vg[tc:tc + tb].astype(jnp.float32), axis=0)
+            tmask = (jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, d), 0) + tc) == pos
+            p_at_pos = p_at_pos + jnp.sum(jnp.where(tmask, seg, 0.0), axis=0)
         o = o + p_at_pos * v_new.astype(jnp.float32)
         o = (jnp.dot(o.astype(mm_dtype), w_so_ref[0].astype(mm_dtype),
                      preferred_element_type=jnp.float32) + b_so_ref[0, 0][None, :])
@@ -260,8 +290,9 @@ def decode_stack(
     dp,                # infer.decode_fast.DecodeParams (stacked [L, ...])
     x0: jax.Array,     # [BK, d] bf16 — embedded+LN'd token
     pos: jax.Array,    # scalar int32
-    self_k: jax.Array,  # [L, BK, T, D] bf16, T % 16 == 0
+    self_k: jax.Array,  # [L, T, BK, D] bf16, T % 16 == 0 — raw, unreordered
     self_v: jax.Array,
+    anc_hot: jax.Array,  # [T, BK, BKC] one-hot of the ancestry matrix, chunk-local
     cross_k: jax.Array,  # [L, B, H, hd, S] bf16
     cross_v: jax.Array,
     enc_bias: jax.Array,  # [B, S] f32 additive pad bias
@@ -271,10 +302,12 @@ def decode_stack(
 ):
     """→ (x_out [BK, d] bf16, k_new [L, BK, D] bf16, v_new [L, BK, D] bf16).
 
-    The caller updates the HBM caches with k_new/v_new at `pos` (a [L,BK,1,D]
-    dynamic_update_slice — the kernel's in-VMEM cache write does not persist).
+    The caller writes k_new/v_new into the HBM caches at time row `pos`
+    (a [L,1,BK,D] dynamic_update_slice); beam reorders only recompose the
+    ancestry matrix (infer/decode_fast.reorder_anc) — the cache itself is
+    write-once per row.
     """
-    L, bk, T, d = self_k.shape
+    L, T, bk, d = self_k.shape
     B = cross_k.shape[1]
     H, hd, S = cross_k.shape[2], cross_k.shape[3], cross_k.shape[4]
     beams = bk // B
@@ -282,6 +315,8 @@ def decode_stack(
     bkc = bk // plan.n_self
     bc = B // plan.n_cross
     assert bk % plan.n_self == 0 and B % plan.n_cross == 0
+    # row chunks must hold whole beam groups: ancestry stays chunk-local
+    assert bkc % beams == 0 and anc_hot.shape == (T, bk, bkc)
     assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 16 == 0
 
     n_self, n_cross = plan.n_self, plan.n_cross
@@ -311,10 +346,12 @@ def decode_stack(
                      lambda l, p: (l, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1), 0)),
         pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_fc2
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
-        pl.BlockSpec((1, bkc, T, d),
-                     lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0, 0)),    # self_k
-        pl.BlockSpec((1, bkc, T, d),
-                     lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0, 0)),    # self_v
+        pl.BlockSpec((1, T, bkc, d),
+                     lambda l, p: (l, 0, jnp.clip(p, 0, n_self - 1), 0)),    # self_k
+        pl.BlockSpec((1, T, bkc, d),
+                     lambda l, p: (l, 0, jnp.clip(p, 0, n_self - 1), 0)),    # self_v
+        pl.BlockSpec((T, bkc, bkc),
+                     lambda l, p: (0, jnp.clip(p, 0, n_self - 1), 0)),       # anc_hot
         pl.BlockSpec((1, bc, H, hd, S),
                      lambda l, p: (l, jnp.clip(p - n_self, 0, n_cross - 1), 0, 0, 0)),
         pl.BlockSpec((1, bc, H, hd, S),
@@ -359,5 +396,5 @@ def decode_stack(
         dp.b_cross_out[:, None, :], dp.ln_cross,
         dp.w_fc1, dp.b_fc1[:, None, :], dp.w_fc2, dp.b_fc2[:, None, :],
         dp.ln_final,
-        self_k, self_v, cross_k, cross_v, enc_bias,
+        self_k, self_v, anc_hot, cross_k, cross_v, enc_bias,
     )

@@ -207,9 +207,14 @@ def mha(
         k, v = cache["k"], cache["v"]  # precomputed once per sequence
         new_cache = cache
     else:
+        # cross-attention K/V get their own tag: at S=512 they are the largest
+        # attn tensors (~770 MB at batch 32) yet the cheapest to recompute, so
+        # the default names policy excludes them (measured: including them
+        # OOMs a 16 GB v5e at batch 32 by ~29 MB)
+        kv_tag = "cross_kv" if is_cross else "attn_qkv"
         src = key_value if is_cross else hidden
-        k = _split_heads(ckpt_name(linear(p["k_proj"], src), "attn_qkv"), num_heads)
-        v = _split_heads(ckpt_name(linear(p["v_proj"], src), "attn_qkv"), num_heads)
+        k = _split_heads(ckpt_name(linear(p["k_proj"], src), kv_tag), num_heads)
+        v = _split_heads(ckpt_name(linear(p["v_proj"], src), kv_tag), num_heads)
         if cache is not None:  # cached self-attention (decode step)
             idx = cache_index
             k = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, idx, 0))

@@ -67,11 +67,28 @@ def fit(
 
     min_val = float("inf")
     steps = 0
+    # Cross-epoch cache of the frozen CoLaM teacher's pooled states, keyed by
+    # dataset row id: the teacher is deterministic, so epochs >= 2 can skip
+    # its full BART forward (numerics-identical; TrainConfig.teacher_cache).
+    teacher_vecs: dict[int, np.ndarray] = {}
+    use_tcache = cfg.train.teacher_cache and cfg.train.alpha > 0
     for epoch in range(cfg.train.num_epochs):
         t0 = time.time()
         for batch in train_loader:
-            state, m = jit_step(state, _device_feed(batch))
+            feed = _device_feed(batch)
+            idxs = None
+            if use_tcache and "sample_idx" in batch:
+                idxs = np.asarray(batch["sample_idx"])
+                if all(int(i) in teacher_vecs for i in idxs):
+                    feed["teacher_pooled"] = np.stack(
+                        [teacher_vecs[int(i)] for i in idxs])
+            state, m = jit_step(state, feed)
             steps += 1
+            pooled = m.pop("teacher_pooled", None)
+            if idxs is not None and pooled is not None:
+                pooled = np.asarray(pooled)
+                for j, i in enumerate(idxs):
+                    teacher_vecs[int(i)] = pooled[j]
             metrics.log({k: v for k, v in m.items()}, step=steps)
             if max_steps is not None and steps >= max_steps:
                 break

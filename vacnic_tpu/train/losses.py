@@ -76,9 +76,23 @@ def colam_margin_loss(
     """Push the multimodal decoder's pooled state away from the frozen
     text-only BART teacher's: mean(max(0, Δ − cos_sim)) — HingeEmbeddingLoss
     with target −1 on diag(H·H_bartᵀ)."""
-    h = l2_normalize(pool(decoder_hidden, caption_mask))
     h_t = l2_normalize(pool(jax.lax.stop_gradient(teacher_decoder_hidden), caption_mask))
-    sim = jnp.sum(h * h_t, axis=-1)  # diag of the score matrix
+    return colam_margin_from_pooled(decoder_hidden, h_t, caption_mask, margin)
+
+
+def colam_margin_from_pooled(
+    decoder_hidden: jax.Array,
+    teacher_pooled: jax.Array,  # [B, d] — already pooled + L2-normalized
+    caption_mask: jax.Array,
+    margin: float,
+) -> jax.Array:
+    """CoLaM against a precomputed teacher vector. The frozen text-only
+    teacher is deterministic (no dropout), so its pooled state per sample is
+    a constant across epochs — the training loop caches it after epoch 1 and
+    skips the whole teacher forward (train/loop.py teacher_cache), which is
+    numerics-identical to recomputing it."""
+    h = l2_normalize(pool(decoder_hidden, caption_mask))
+    sim = jnp.sum(h * jax.lax.stop_gradient(teacher_pooled), axis=-1)
     return jnp.mean(jnp.maximum(0.0, margin - sim))
 
 

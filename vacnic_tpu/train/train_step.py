@@ -143,15 +143,31 @@ def compute_losses(
 
     # --- CoLaM: frozen text-only teacher (train...match.py:292-309) ---------
     if tcfg.alpha > 0:
-        # deterministic teacher: HF from_pretrained returns the model in eval
-        # mode and the reference never calls .train() on it — no dropout
-        t_out = B.bart_forward(teacher, src_ids, src_mask, tgt_input, bart_cfg,
-                               dropout_rng=None, dtype=dtype)
-        margin_loss = L.colam_margin_loss(
-            out["decoder_hidden"].astype(jnp.float32),
-            t_out["decoder_hidden"].astype(jnp.float32),
-            tgt_mask, tcfg.margin,
-        )
+        if "teacher_pooled" in batch:
+            # cross-epoch teacher cache: the deterministic teacher's pooled
+            # state was computed in a previous epoch — skip its forward
+            margin_loss = L.colam_margin_from_pooled(
+                out["decoder_hidden"].astype(jnp.float32),
+                batch["teacher_pooled"].astype(jnp.float32),
+                tgt_mask, tcfg.margin,
+            )
+        else:
+            # deterministic teacher: HF from_pretrained returns the model in
+            # eval mode and the reference never calls .train() on it — no
+            # dropout
+            t_out = B.bart_forward(teacher, src_ids, src_mask, tgt_input, bart_cfg,
+                                   dropout_rng=None, dtype=dtype)
+            t_pooled = L.l2_normalize(
+                L.pool(jax.lax.stop_gradient(
+                    t_out["decoder_hidden"].astype(jnp.float32)), tgt_mask))
+            margin_loss = L.colam_margin_from_pooled(
+                out["decoder_hidden"].astype(jnp.float32), t_pooled,
+                tgt_mask, tcfg.margin,
+            )
+            if tcfg.teacher_cache:
+                # surfaced so the loop can populate the cache (popped from
+                # metrics before logging)
+                metrics["teacher_pooled"] = t_pooled
         metrics["margin_loss"] = margin_loss
         total = total + tcfg.alpha * margin_loss
 

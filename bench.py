@@ -59,7 +59,7 @@ def main() -> None:
     compute_dtype = jnp.float32 if os.environ.get("BENCH_TINY") else jnp.bfloat16
     params = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
 
-    batch_size = 2 if os.environ.get("BENCH_TINY") else 32
+    batch_size = 2 if os.environ.get("BENCH_TINY") else int(os.environ.get("BENCH_BATCH", 32))
     batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
 
     import numpy as np

@@ -141,3 +141,65 @@ def generate_mm(
         name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn, dtype=dtype,
     )
     return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg, dcfg, dtype)
+
+
+def generate_mm_sharded(
+    mesh,
+    params,
+    input_ids,
+    attention_mask,
+    image_features,
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    dcfg: DecodeConfig,
+    *,
+    face_features=None,
+    face_mask=None,
+    name_ids=None,
+    name_mask=None,
+    add_ner_ffn: bool = True,
+    dtype=jnp.float32,
+    data_axis: str = "data",
+):
+    """Multi-chip beam decode: shard_map over the mesh's data axis.
+
+    Decoding is embarrassingly parallel over the batch (the reference's DDP
+    inference, utils/test_mmbart_clip_ddp.py:1078-1079, splits the test set
+    per rank the same way). The plain `generate_mm` under jit auto-shards the
+    XLA path, but the fused Pallas decode kernel (VACNIC_PALLAS_DECODE=1) is
+    a per-chip program — shard_map makes each chip run the whole search on
+    its batch shard with replicated params, no cross-chip traffic after the
+    batch scatter. Batch must divide the data-axis size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map as _smap  # jax >= 0.7 top-level export
+
+        def smap(f, in_specs, out_specs):
+            return _smap(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _smap_old
+
+        def smap(f, in_specs, out_specs):
+            return _smap_old(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
+
+    b = P(data_axis)
+    r = P()
+
+    def body(params, input_ids, attention_mask, image_features,
+             face_features, face_mask, name_ids, name_mask):
+        enc = F.mm_encoder_fwd(
+            params, input_ids, attention_mask, image_features, cfg, fcfg,
+            face_features=face_features, face_mask=face_mask,
+            name_ids=name_ids, name_mask=name_mask,
+            add_ner_ffn=add_ner_ffn, dtype=dtype,
+        )
+        return _decode_from_encoder(params, enc["last_hidden"], attention_mask,
+                                    cfg, dcfg, dtype)
+
+    mm = (face_features, face_mask, name_ids, name_mask)
+    in_specs = (r, b, b, b) + tuple(r if x is None else b for x in mm)
+    fn = jax.jit(smap(body, in_specs=in_specs, out_specs=(b, b)))
+    return fn(params, input_ids, attention_mask, image_features, *mm)

@@ -274,9 +274,17 @@ def cmd_generate(args) -> int:
     tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
     with open(args.data_dict) as f:
         data_dict = json.load(f)
+    mesh = None
+    if getattr(args, "sharded", False):
+        from vacnic_tpu.core.config import MeshConfig
+        from vacnic_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(), devices=jax.devices())
+        print(f"sharded decode over {len(jax.devices())} devices", file=sys.stderr)
+
     (loader,) = _make_loaders(cfg, tokenizer, [(args.data_dict, False)], False)
     out = generate_captions(cfg, state.params, loader, tokenizer,
-                            out_path=args.out)
+                            out_path=args.out, mesh=mesh)
     print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
     return 0
 
@@ -430,6 +438,9 @@ def main(argv=None) -> int:
     sp.add_argument("--merges", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--set", action="append")
+    sp.add_argument("--sharded", action="store_true",
+                    help="shard the beam search over all visible devices "
+                         "(batch size must divide the device count)")
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("retrieve", help="CLIP sentence-retrieval preprocessing")

@@ -37,8 +37,16 @@ def _decode_from_encoder(
     bsz = enc_hidden.shape[0]
     k = dcfg.num_beams
 
-    # fused Pallas decode-stack kernel (kernels/decode_layer) — opt-in
-    use_pallas = os.environ.get("VACNIC_PALLAS_DECODE") == "1"
+    # fused Pallas decode-stack kernel (kernels/decode_layer): default ON for
+    # accelerator backends (on-chip parity: argmax agreement 1.0000, beam
+    # tokens identical — tests/test_decode_kernel.py); opt out with
+    # VACNIC_PALLAS_DECODE=0. On CPU the kernel only exists in interpret mode
+    # (slow), so it stays opt-in there.
+    env = os.environ.get("VACNIC_PALLAS_DECODE")
+    if env is None:
+        use_pallas = jax.default_backend() != "cpu"
+    else:
+        use_pallas = env == "1"
     pad_to = 16 if use_pallas else int(os.environ.get("VACNIC_CACHE_PAD", 1))
     dp = DF.build_decode_params(params, dtype)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams

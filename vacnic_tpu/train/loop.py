@@ -135,9 +135,19 @@ def generate_captions(
     *,
     out_path: str | None = None,
     compute_metrics: bool = True,
+    mesh=None,
+    data_axis: str = "data",
 ) -> dict:
     """Beam-decode a loader → `{step: {gt, gen}}` (+ metrics) JSON
-    (gen_caption_from_loader_bart, train...match.py:480-559)."""
+    (gen_caption_from_loader_bart, train...match.py:480-559).
+
+    With `mesh`, batches whose size divides the data axis decode via
+    `generate_mm_sharded` (each chip runs the beam search on its shard —
+    the SPMD analogue of the reference's per-rank DDP inference); other
+    batches (e.g. the tail) fall back to single-program decode."""
+    from vacnic_tpu.infer.generate import generate_mm_sharded
+
+    n_data = mesh.shape[data_axis] if mesh is not None else 0
     out_dict: dict[Any, Any] = {}
     step_idx = 0
     compute_dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
@@ -156,10 +166,17 @@ def generate_captions(
                 name_ids=feed["names_art_ids"],
                 name_mask=create_mask(feed["names_art_ids"]),
             )
-        seqs, _ = generate_mm(
-            params["model"], src_ids, create_mask(src_ids), img_cls,
-            cfg.bart, cfg.fusion, cfg.decode, dtype=compute_dtype, **kwargs,
-        )
+        if mesh is not None and src_ids.shape[0] % n_data == 0:
+            seqs, _ = generate_mm_sharded(
+                mesh, params["model"], src_ids, create_mask(src_ids), img_cls,
+                cfg.bart, cfg.fusion, cfg.decode, dtype=compute_dtype,
+                data_axis=data_axis, **kwargs,
+            )
+        else:
+            seqs, _ = generate_mm(
+                params["model"], src_ids, create_mask(src_ids), img_cls,
+                cfg.bart, cfg.fusion, cfg.decode, dtype=compute_dtype, **kwargs,
+            )
         seqs = np.asarray(seqs)
         gts = batch.get("caption", [""] * seqs.shape[0])
         for i in range(seqs.shape[0]):

@@ -53,7 +53,9 @@ def main() -> None:
                                 (batch_size, cfg.bart.d_model), jnp.float32)
         batch["teacher_pooled"] = vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
 
-    init_fn, step_fn = make_train_step(cfg, num_training_steps=1000, mu_dtype=jnp.bfloat16)
+    nu_dtype = jnp.bfloat16 if os.environ.get("BENCH_NU_BF16") else None
+    init_fn, step_fn = make_train_step(cfg, num_training_steps=1000,
+                                       mu_dtype=jnp.bfloat16, nu_dtype=nu_dtype)
     state = init_fn(params, teacher, jax.random.fold_in(key, 2))
     step = jax.jit(step_fn, donate_argnums=0)
 

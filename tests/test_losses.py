@@ -75,3 +75,28 @@ def test_infonce_symmetric():
     bm = jnp.ones((3, 4), jnp.int32)
     loss = float(L.face_name_infonce(a, am, b, bm, jnp.float32(10.0)))
     assert np.isfinite(loss) and loss > 0
+
+
+def test_scale_by_adam_low_precision_tracks_fp32():
+    """bf16-moment Adam must track optax's fp32 scale_by_adam to bf16
+    resolution over multiple steps (update math is fp32; only carried
+    state is low precision)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vacnic_tpu.train.optim import scale_by_adam_low_precision
+
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    low = scale_by_adam_low_precision(0.9, 0.999, 1e-8)
+    params = {"w": jnp.zeros((4, 8), jnp.float32)}
+    s_ref, s_low = ref.init(params), low.init(params)
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        g = {"w": jax.random.normal(jax.random.fold_in(key, i), (4, 8), jnp.float32)}
+        u_ref, s_ref = ref.update(g, s_ref)
+        u_low, s_low = low.update(g, s_low)
+        np.testing.assert_allclose(np.asarray(u_low["w"]), np.asarray(u_ref["w"]),
+                                   rtol=2e-2, atol=2e-2)
+    assert s_low.mu["w"].dtype == jnp.bfloat16 and s_low.nu["w"].dtype == jnp.bfloat16

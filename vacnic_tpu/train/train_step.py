@@ -222,10 +222,12 @@ def perturb_bos(params: Params, rng: jax.Array, scale: float = 1.0) -> Params:
     return out
 
 
-def make_train_step(cfg: VacnicConfig, num_training_steps: int, mu_dtype=None):
+def make_train_step(cfg: VacnicConfig, num_training_steps: int, mu_dtype=None,
+                    nu_dtype=None):
     """Returns (init_fn, step_fn). step_fn: (state, batch) → (state, metrics),
     jittable and shardable (annotate inputs with NamedShardings)."""
-    tx = make_optimizer(cfg.train, num_training_steps, mu_dtype=mu_dtype)
+    tx = make_optimizer(cfg.train, num_training_steps, mu_dtype=mu_dtype,
+                        nu_dtype=nu_dtype)
 
     def init_fn(params: Params, teacher: Params, rng) -> TrainState:
         return TrainState(

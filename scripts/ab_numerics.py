@@ -38,8 +38,12 @@ def run_variant(cfg, bf16_state: bool, steps: int, batch_size: int, log_every: i
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     if bf16_state:
         teacher = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), teacher)
+    # AB_NU_BF16=1 additionally stores the Adam second moment in bf16 in the
+    # bf16 variant (scale_by_adam_low_precision)
+    nu = jnp.bfloat16 if (bf16_state and os.environ.get("AB_NU_BF16")) else None
     init_fn, step_fn = make_train_step(
-        cfg, num_training_steps=steps, mu_dtype=jnp.bfloat16 if bf16_state else None)
+        cfg, num_training_steps=steps,
+        mu_dtype=jnp.bfloat16 if bf16_state else None, nu_dtype=nu)
     state = init_fn(params, teacher, jax.random.fold_in(key, 2))
     step = jax.jit(step_fn, donate_argnums=0)
 

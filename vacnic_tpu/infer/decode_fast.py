@@ -312,11 +312,21 @@ def decode_step_pallas(
     b = cache.cross_k.shape[1]
     beams = bk // b
     if plan is None:
-        # self chunks must hold whole beam groups (ancestry is chunk-local)
-        n_self = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+        # Chunk counts scale with batch so the per-phase VMEM footprint stays
+        # at the proven batch-32 shape (bkc≈40 rows, bc≈8 batch items).
+        # Self chunks must hold whole beam groups (ancestry is chunk-local)
+        # and bkc must stay 8-aligned (Mosaic sublane splits).
+        def pick(target_chunks, valid):
+            for n in (target_chunks, 8, 4, 2, 1):
+                if n >= 1 and b % n == 0 and valid(n):
+                    return n
+            return 1
+
+        n_self = pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
+        n_cross = pick(max(1, b // 8), lambda n: True)
         plan = ChunkPlan(
             n_self=n_self,
-            n_cross=4 if b % 4 == 0 else (2 if b % 2 == 0 else 1),
+            n_cross=n_cross,
             n_ffn=2 if dp.w_fc1.shape[2] % 2 == 0 else 1,
         )
     bkc = bk // plan.n_self

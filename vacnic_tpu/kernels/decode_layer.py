@@ -12,31 +12,39 @@ stream.
 Grid = (layers, phases); TPU grids are sequential, so VMEM scratch legally
 carries x across grid steps. Phases within a layer:
 
-  [0, NSELF)            self-attention over B·K row chunks. The self cache is
-                        stored TIME-MAJOR [L, T, BK, D] and is NEVER
-                        physically reordered on beam select: instead the beam
-                        ancestry matrix anc[t, c] (= which physical row holds
-                        beam c's K/V from step t) enters as a per-chunk
+  [0, NSELF·NT)         self-attention over B·K row chunks × T time-chunks.
+                        The self cache is stored TIME-MAJOR [L, T, BK, D] and
+                        is NEVER physically reordered on beam select: the
+                        beam ancestry matrix anc[t, c] (= which physical row
+                        holds beam c's K/V from step t) enters as a per-chunk
                         one-hot [T, BKC, BKC], and the kernel gathers K/V
-                        with two batched MXU matmuls (≈20 GFLOP/step — noise
-                        next to the ~2.6 ms/step HBM gather it replaces).
-                        The new token's K/V merge in via masks (cache row
-                        `pos` is still zero) and are emitted to `k_new/v_new`
-                        for the row write outside;
-  [NSELF, +NCROSS)      cross-attention over batch chunks — KV is
+                        with batched MXU matmuls (≈10 GFLOP/step — noise
+                        next to the ~1 GB/step HBM gather it replaces).
+                        Attention runs ONLINE-SOFTMAX over the time chunks,
+                        and `pos` is a SCALAR-PREFETCH argument consumed by
+                        the index maps: time chunks beyond pos//TB map to the
+                        last needed chunk, so their block fetches are elided
+                        (consecutive identical indices are not re-fetched) —
+                        cache traffic scales with the decoded length, not
+                        the padded capacity. The new token's K/V merge in via
+                        masks (cache row `pos` is still zero) and are emitted
+                        to `k_new/v_new` for the row write outside;
+  [+, +NCROSS)          cross-attention over batch chunks — KV is
                         beam-invariant [B, H, hd, S] (bandwidth win of
                         infer/decode_fast carried over); beams fold into the
                         q rows;
-  [+NCROSS, +NFFN)      FFN with the 16 MB fc1/fc2 pair column-chunked,
+  [+, +NFFN)            FFN with the 16 MB fc1/fc2 pair column-chunked,
                         accumulated in an f32 scratch.
 
 Head-structured attention scores avoid sub-lane head layouts entirely:
 scores = ((q ⊙ K) reshaped) @ SEL, where SEL is the [D, H] block-diagonal
-head-selector — two small MXU matmuls instead of 16×64-lane relayouts.
+head-selector — small MXU matmuls instead of 16×64-lane relayouts.
 
-Numerics: bf16 weights/caches, f32 accumulation and softmax — identical to
+Numerics: bf16 weights/caches, f32 accumulation and softmax (the online
+update is algebraically the exact softmax) — identical to
 infer/decode_fast.decode_step (tests/test_decode_kernel.py pins per-step
-logits in interpret mode; the on-chip parity test runs under VACNIC_PALLAS).
+logits and beam-reordered multi-step tokens in interpret mode; the on-chip
+parity check is scripts/bench_decode_kernel.py BENCH_MODE=parity).
 """
 
 from __future__ import annotations
@@ -57,16 +65,17 @@ class ChunkPlan(NamedTuple):
     n_self: int = 4   # B·K row chunks for self-attention
     n_cross: int = 4  # batch chunks for cross-attention
     n_ffn: int = 2    # fc1/fc2 column chunks
-    vmem_mb: int = 110  # v5e VMEM is 128 MB; the ancestry-gather buffers need >100
+    vmem_mb: int = 110  # v5e VMEM is 128 MB
+    n_t: int = 4      # time chunks per self row chunk (online softmax)
 
     @property
     def phases(self) -> int:
-        return self.n_self + self.n_cross + self.n_ffn
+        return self.n_self * self.n_t + self.n_cross + self.n_ffn
 
 
 def _kernel(
+    pos_ref,       # scalar-prefetch [1] int32 — current decode position
     # inputs (refs), grid = (L, P)
-    pos_ref,       # [1,1] SMEM int32
     x0_ref,        # [BK, d] bf16
     w_qkv_ref,     # [1, d, 3d]
     b_qkv_ref,     # [1, 1, 3d] f32
@@ -83,9 +92,9 @@ def _kernel(
     w_fc2_ref,     # [1, FC, d]
     b_fc2_ref,     # [1, 1, d] f32
     ln_f_ref,      # [1, 2, d] f32
-    self_k_ref,    # [1, T, BKC, D] bf16 (time-major, unreordered)
-    self_v_ref,    # [1, T, BKC, D] bf16
-    anc_ref,       # [T, BKC, BKC] — ancestry one-hot for this row chunk
+    self_k_ref,    # [1, TB, BKC, D] bf16 (time-major, unreordered)
+    self_v_ref,    # [1, TB, BKC, D] bf16
+    anc_ref,       # [TB, BKC, BKC] — ancestry one-hot for this (tchunk, chunk)
     cross_k_ref,   # [1, BC, H, hd, S] bf16
     cross_v_ref,   # [1, BC, H, hd, S] bf16
     enc_bias_ref,  # [BC, S] f32
@@ -97,6 +106,14 @@ def _kernel(
     x_s,           # [BK, d] f32 — carried activation
     x1_s,          # [BK, d] f32 — post-self-attn
     acc_s,         # [BK, d] f32 — FFN accumulator
+    q_s,           # [BKC, d] mm — scaled q for the current row chunk
+    kn_s,          # [BKC, d] mm — new-token K
+    vn_s,          # [BKC, d] mm — new-token V
+    snew_s,        # [BKC, H] f32 — new-token scores
+    m_s,           # [BKC, H] f32 — online-softmax running max
+    l_s,           # [BKC, H] f32 — online-softmax running sum
+    att_s,         # [BKC, d] f32 — online-softmax value accumulator
+    pap_s,         # [BKC, d] f32 — running prob mass at t == pos
     *,
     plan: ChunkPlan,
     cfg_heads: int,
@@ -108,7 +125,9 @@ def _kernel(
     l = pl.program_id(0)
     p = pl.program_id(1)
     n_layers = pl.num_programs(0)
-    pos = pos_ref[0, 0]
+    pos = pos_ref[0]
+    n_t = plan.n_t
+    ns = plan.n_self * n_t
     if act_name == "gelu":
         # Exact gelu. Mosaic lowers neither erf nor erfc; use the
         # Abramowitz-Stegun 7.1.26 rational erf approximation (|err|<=1.5e-7,
@@ -126,13 +145,15 @@ def _kernel(
         act = ACT2FN[act_name]
 
     bk, d = x_s.shape
-    T = self_k_ref.shape[1]
+    tb = self_k_ref.shape[1]
     bkc = self_k_ref.shape[2]
     bc = cross_k_ref.shape[1]
     S = cross_k_ref.shape[4]
     H, hd = cfg_heads, cfg_hd
-    fc = w_fc1_ref.shape[2]
     scaling = hd**-0.5
+    chunk = p // n_t        # self row chunk (valid while p < ns)
+    tc = p % n_t            # time chunk within the row chunk
+    last_tc = pos // tb     # last time chunk holding rows <= pos
 
     # block-diagonal head selector [D, H]: SEL[dd, h] = 1 iff dd // hd == h
     dd_ids = jax.lax.broadcasted_iota(jnp.int32, (d, H), 0)
@@ -149,73 +170,90 @@ def _kernel(
     def _load_x():
         x_s[:] = x0_ref[:].astype(jnp.float32)
 
-    # ---------------- self-attention row chunk ------------------------------
-    @pl.when(p < plan.n_self)
+    # ---------------- self-attention (row chunk × time chunk) ---------------
+    @pl.when(p < ns)
     def _self_attn():
-        rows = pl.ds(p * bkc, bkc)
-        x_in = x_s[rows, :]
-        qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
-                       preferred_element_type=jnp.float32) + b_qkv_ref[0, 0][None, :])
-        q = qkv[:, :d] * scaling
-        k_new = qkv[:, d:2 * d].astype(self_k_ref.dtype)
-        v_new = qkv[:, 2 * d:].astype(self_k_ref.dtype)
-        k_new_ref[0] = k_new
-        v_new_ref[0] = v_new
+        rows = pl.ds(chunk * bkc, bkc)
 
-        # Beam-align the raw (never-reordered) cache rows with the ancestry
-        # one-hot: K_g[t, c, :] = K_raw[t, anc[t, c], :] as a batched matmul
-        # (batch dim = T; Mosaic allows exactly one batch dim per matmul).
-        # V gathers AFTER the K-side buffers die — the VMEM stack budget is
-        # ~111 MB and both gathered copies live at once blow it by ~6 MB.
-        anc = anc_ref[...].astype(mm_dtype)  # [T, C, C']
-        gat = lambda ref: jax.lax.dot_general(
-            anc, ref[0].astype(mm_dtype),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(mm_dtype)  # [T, C, D]
-        kg = gat(self_k_ref)
+        @pl.when(tc == 0)
+        def _init_chunk():
+            x_in = x_s[rows, :]
+            qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
+                           preferred_element_type=jnp.float32)
+                   + b_qkv_ref[0, 0][None, :])
+            q = (qkv[:, :d] * scaling).astype(mm_dtype)
+            k_new = qkv[:, d:2 * d].astype(mm_dtype)
+            v_new = qkv[:, 2 * d:].astype(mm_dtype)
+            q_s[...] = q
+            kn_s[...] = k_new
+            vn_s[...] = v_new
+            k_new_ref[0] = k_new.astype(k_new_ref.dtype)
+            v_new_ref[0] = v_new.astype(v_new_ref.dtype)
+            snew_s[...] = jnp.dot(q * k_new, sel,
+                                  preferred_element_type=jnp.float32)
+            m_s[...] = jnp.full((bkc, H), -jnp.inf, jnp.float32)
+            l_s[...] = jnp.zeros((bkc, H), jnp.float32)
+            att_s[...] = jnp.zeros((bkc, d), jnp.float32)
+            pap_s[...] = jnp.zeros((bkc, d), jnp.float32)
 
-        # Mosaic cannot store at a dynamic sublane index (bf16 packing), so
-        # the new token is NOT in the cache; its score/value merge in via
-        # masks. Cache row `pos` is exactly zero (zero-init; the outer update
-        # writes rows only after the step), so summing values over the full T
-        # plus a separate pos term is exact.
-        qm = q.astype(mm_dtype)
-        # head-structured scores via the SEL matmul: no sub-lane relayout
-        prod = qm[None, :, :] * kg  # [T, C, D]
-        scores = jnp.dot(prod.reshape(T * bkc, d), sel,
-                         preferred_element_type=jnp.float32).reshape(T, bkc, H)
-        s_new = jnp.dot(qm * k_new.astype(mm_dtype), sel,
-                        preferred_element_type=jnp.float32)  # [C, H]
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, bkc, H), 0)
-        scores = jnp.where(t_ids == pos, s_new[None, :, :],
-                           jnp.where(t_ids < pos, scores, -jnp.inf))
-        probs = jax.nn.softmax(scores, axis=0)
-        # p_exp in mm_dtype: numerically the XLA path's bf16 probs cast (SEL.T
-        # entries are 0/1 — this is a broadcast, not a contraction), and the
-        # f32 copy would blow the VMEM stack
-        p_exp = jnp.dot(probs.reshape(T * bkc, H).astype(mm_dtype), sel.T,
-                        preferred_element_type=jnp.float32
-                        ).astype(mm_dtype).reshape(T, bkc, d)
-        vg = gat(self_v_ref)
-        # value sum in T-chunks: full-size f32 temps for the cast/mask would
-        # likewise re-blow the VMEM stack
-        o = jnp.zeros((bkc, d), jnp.float32)
-        p_at_pos = jnp.zeros((bkc, d), jnp.float32)
-        tb = 16
-        for tc in range(0, T, tb):
-            seg = p_exp[tc:tc + tb].astype(jnp.float32)  # [tb, C, D]
-            o = o + jnp.sum(seg * vg[tc:tc + tb].astype(jnp.float32), axis=0)
-            tmask = (jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, d), 0) + tc) == pos
-            p_at_pos = p_at_pos + jnp.sum(jnp.where(tmask, seg, 0.0), axis=0)
-        o = o + p_at_pos * v_new.astype(jnp.float32)
-        o = (jnp.dot(o.astype(mm_dtype), w_so_ref[0].astype(mm_dtype),
-                     preferred_element_type=jnp.float32) + b_so_ref[0, 0][None, :])
-        x1_s[rows, :] = ln(ln_s_ref, x_in + o)
+        @pl.when(tc <= last_tc)
+        def _time_chunk():
+            # Beam-align the raw (never-reordered) cache rows with the
+            # ancestry one-hot: K_g[t, c, :] = K_raw[t, anc[t, c], :] as a
+            # batched matmul (batch dim = t; Mosaic allows exactly one).
+            anc = anc_ref[...].astype(mm_dtype)  # [TB, C, C']
+            gat = lambda ref: jax.lax.dot_general(
+                anc, ref[0].astype(mm_dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(mm_dtype)
+            kg = gat(self_k_ref)  # [TB, C, D]
+            qm = q_s[...]
+            # Mosaic cannot store at a dynamic sublane index (bf16 packing),
+            # so the new token is NOT in the cache; its score/value merge in
+            # via masks. Cache row `pos` is exactly zero (zero-init; the
+            # outer update writes rows only after the step), so its V-side
+            # contribution is tracked separately in pap_s.
+            prod = qm[None, :, :] * kg  # [TB, C, D]
+            scores = jnp.dot(prod.reshape(tb * bkc, d), sel,
+                             preferred_element_type=jnp.float32
+                             ).reshape(tb, bkc, H)
+            gt = jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, H), 0) + tc * tb
+            scores = jnp.where(gt == pos, snew_s[...][None, :, :],
+                               jnp.where(gt < pos, scores, -jnp.inf))
+            # online softmax (exact): rescale running stats to the new max
+            m_new = jnp.maximum(m_s[...], jnp.max(scores, axis=0))  # [C, H]
+            alpha = jnp.exp(m_s[...] - m_new)
+            pm = jnp.exp(scores - m_new[None, :, :])  # [TB, C, H]
+            l_s[...] = alpha * l_s[...] + jnp.sum(pm, axis=0)
+            m_s[...] = m_new
+            p_exp = jnp.dot(pm.reshape(tb * bkc, H).astype(mm_dtype), sel.T,
+                            preferred_element_type=jnp.float32
+                            ).astype(mm_dtype).reshape(tb, bkc, d)
+            vg = gat(self_v_ref)
+            alpha_d = jnp.dot(alpha.astype(mm_dtype), sel.T,
+                              preferred_element_type=jnp.float32)  # [C, d]
+            contrib = jnp.sum(p_exp.astype(jnp.float32) * vg.astype(jnp.float32),
+                              axis=0)
+            att_s[...] = alpha_d * att_s[...] + contrib
+            gt_d = jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, d), 0) + tc * tb
+            pap = jnp.sum(jnp.where(gt_d == pos, p_exp.astype(jnp.float32), 0.0),
+                          axis=0)
+            pap_s[...] = alpha_d * pap_s[...] + pap
+
+        @pl.when(tc == last_tc)
+        def _finish_chunk():
+            l_d = jnp.dot(l_s[...].astype(mm_dtype), sel.T,
+                          preferred_element_type=jnp.float32)  # [C, d]
+            o = (att_s[...] + pap_s[...] * vn_s[...].astype(jnp.float32)) / l_d
+            o = (jnp.dot(o.astype(mm_dtype), w_so_ref[0].astype(mm_dtype),
+                         preferred_element_type=jnp.float32)
+                 + b_so_ref[0, 0][None, :])
+            x1_s[rows, :] = ln(ln_s_ref, x_s[rows, :] + o)
 
     # ---------------- cross-attention batch chunk ---------------------------
-    @pl.when((p >= plan.n_self) & (p < plan.n_self + plan.n_cross))
+    @pl.when((p >= ns) & (p < ns + plan.n_cross))
     def _cross_attn():
-        rows = pl.ds((p - plan.n_self) * bc * beams, bc * beams)
+        rows = pl.ds((p - ns) * bc * beams, bc * beams)
         x_in = x1_s[rows, :]
         q = (jnp.dot(x_in.astype(mm_dtype), w_cq_ref[0].astype(mm_dtype),
                      preferred_element_type=jnp.float32) + b_cq_ref[0, 0][None, :])
@@ -259,9 +297,9 @@ def _kernel(
         x1_s[rows, :] = ln(ln_c_ref, x_in + o)
 
     # ---------------- FFN column chunk --------------------------------------
-    @pl.when(p >= plan.n_self + plan.n_cross)
+    @pl.when(p >= ns + plan.n_cross)
     def _ffn():
-        f = p - plan.n_self - plan.n_cross
+        f = p - ns - plan.n_cross
         x_in = x1_s[:].astype(mm_dtype)
         h = act(jnp.dot(x_in, w_fc1_ref[0].astype(mm_dtype),
                         preferred_element_type=jnp.float32)
@@ -311,23 +349,43 @@ def decode_stack(
     B = cross_k.shape[1]
     H, hd, S = cross_k.shape[2], cross_k.shape[3], cross_k.shape[4]
     beams = bk // B
+    if T % plan.n_t:  # T must split evenly into time chunks
+        plan = plan._replace(n_t=1)
+    n_t = plan.n_t
+    tb = T // n_t
     fc = dp.w_fc1.shape[2] // plan.n_ffn
     bkc = bk // plan.n_self
     bc = B // plan.n_cross
-    assert bk % plan.n_self == 0 and B % plan.n_cross == 0
+    assert bk % plan.n_self == 0 and B % plan.n_cross == 0 and T % n_t == 0
     # row chunks must hold whole beam groups: ancestry stays chunk-local
     assert bkc % beams == 0 and anc_hot.shape == (T, bk, bkc)
     assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 16 == 0
 
     n_self, n_cross = plan.n_self, plan.n_cross
+    ns = n_self * n_t
 
     def c(*idx):  # layer-constant block
-        return lambda l, p: (l, *idx)
+        return lambda l, p, pos_ref: (l, *idx)
+
+    def self_chunk(l, p, pos_ref):
+        return jnp.clip(p // n_t, 0, n_self - 1)
+
+    def self_tc(l, p, pos_ref):
+        # time chunks beyond the decoded prefix map to the last needed chunk:
+        # consecutive identical block indices are not re-fetched, so the
+        # skipped chunks cost no HBM traffic.
+        last = pos_ref[0] // tb
+        return jnp.where(p >= ns, last, jnp.minimum(p % n_t, last))
+
+    def self_cache_idx(l, p, pos_ref):
+        return (l, self_tc(l, p, pos_ref), self_chunk(l, p, pos_ref), 0)
+
+    def anc_idx(l, p, pos_ref):
+        return (self_tc(l, p, pos_ref), self_chunk(l, p, pos_ref), 0)
 
     grid = (L, plan.phases)
     specs = [
-        pl.BlockSpec((1, 1), lambda l, p: (0, 0), memory_space=pltpu.SMEM),  # pos
-        pl.BlockSpec((bk, d), lambda l, p: (0, 0)),                          # x0
+        pl.BlockSpec((bk, d), lambda l, p, pos_ref: (0, 0)),                 # x0
         pl.BlockSpec((1, d, 3 * d), c(0, 0)),                                # w_qkv
         pl.BlockSpec((1, 1, 3 * d), c(0, 0)),                                # b_qkv
         pl.BlockSpec((1, d, d), c(0, 0)),                                    # w_so
@@ -339,57 +397,68 @@ def decode_stack(
         pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_co
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_c
         pl.BlockSpec((1, d, fc),
-                     lambda l, p: (l, 0, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1))),
+                     lambda l, p, pos_ref: (l, 0, jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1))),
         pl.BlockSpec((1, 1, fc),
-                     lambda l, p: (l, 0, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1))),
+                     lambda l, p, pos_ref: (l, 0, jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1))),
         pl.BlockSpec((1, fc, d),
-                     lambda l, p: (l, jnp.clip(p - n_self - n_cross, 0, plan.n_ffn - 1), 0)),
+                     lambda l, p, pos_ref: (l, jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1), 0)),
         pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_fc2
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
-        pl.BlockSpec((1, T, bkc, d),
-                     lambda l, p: (l, 0, jnp.clip(p, 0, n_self - 1), 0)),    # self_k
-        pl.BlockSpec((1, T, bkc, d),
-                     lambda l, p: (l, 0, jnp.clip(p, 0, n_self - 1), 0)),    # self_v
-        pl.BlockSpec((T, bkc, bkc),
-                     lambda l, p: (0, jnp.clip(p, 0, n_self - 1), 0)),       # anc_hot
+        pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_k
+        pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_v
+        pl.BlockSpec((tb, bkc, bkc), anc_idx),                               # anc_hot
         pl.BlockSpec((1, bc, H, hd, S),
-                     lambda l, p: (l, jnp.clip(p - n_self, 0, n_cross - 1), 0, 0, 0)),
+                     lambda l, p, pos_ref: (l, jnp.clip(p - ns, 0, n_cross - 1), 0, 0, 0)),
         pl.BlockSpec((1, bc, H, hd, S),
-                     lambda l, p: (l, jnp.clip(p - n_self, 0, n_cross - 1), 0, 0, 0)),
+                     lambda l, p, pos_ref: (l, jnp.clip(p - ns, 0, n_cross - 1), 0, 0, 0)),
         pl.BlockSpec((bc, S),
-                     lambda l, p: (jnp.clip(p - n_self, 0, n_cross - 1), 0)),  # enc_bias
+                     lambda l, p, pos_ref: (jnp.clip(p - ns, 0, n_cross - 1), 0)),  # enc_bias
     ]
     out_specs = [
-        pl.BlockSpec((bk, d), lambda l, p: (0, 0)),                          # x_out
-        pl.BlockSpec((1, bkc, d), lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0)),
-        pl.BlockSpec((1, bkc, d), lambda l, p: (l, jnp.clip(p, 0, n_self - 1), 0)),
+        pl.BlockSpec((bk, d), lambda l, p, pos_ref: (0, 0)),                 # x_out
+        pl.BlockSpec((1, bkc, d),
+                     lambda l, p, pos_ref: (l, self_chunk(l, p, pos_ref), 0)),
+        pl.BlockSpec((1, bkc, d),
+                     lambda l, p, pos_ref: (l, self_chunk(l, p, pos_ref), 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((bk, d), x0.dtype),
         jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
         jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
     ]
+    # pallas interpret mode on CPU lacks bf16xbf16=f32 dot thunks
+    mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     kernel = functools.partial(
         _kernel, plan=plan, cfg_heads=H, cfg_hd=hd, beams=beams,
-        act_name=cfg.activation_function,
-        # pallas interpret mode on CPU lacks bf16xbf16=f32 dot thunks
-        mm_dtype=jnp.float32 if interpret else jnp.bfloat16)
-    return pl.pallas_call(
-        kernel,
+        act_name=cfg.activation_function, mm_dtype=mm_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=specs,
         out_specs=out_specs,
-        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),    # x_s
+            pltpu.VMEM((bk, d), jnp.float32),    # x1_s
+            pltpu.VMEM((bk, d), jnp.float32),    # acc_s
+            pltpu.VMEM((bkc, d), mm_dtype),      # q_s
+            pltpu.VMEM((bkc, d), mm_dtype),      # kn_s
+            pltpu.VMEM((bkc, d), mm_dtype),      # vn_s
+            pltpu.VMEM((bkc, H), jnp.float32),   # snew_s
+            pltpu.VMEM((bkc, H), jnp.float32),   # m_s
+            pltpu.VMEM((bkc, H), jnp.float32),   # l_s
+            pltpu.VMEM((bkc, d), jnp.float32),   # att_s
+            pltpu.VMEM((bkc, d), jnp.float32),   # pap_s
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=plan.vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(
-        pos.reshape(1, 1).astype(jnp.int32), x0,
+        pos.reshape(1).astype(jnp.int32), x0,
         dp.w_qkv, dp.b_qkv[:, None, :], dp.w_self_out,
         dp.b_self_out[:, None, :], dp.ln_self,
         dp.w_cross_q, dp.b_cross_q[:, None, :], dp.w_cross_out,

@@ -55,6 +55,11 @@ class DecodeParams(NamedTuple):
     w_fc2: jax.Array  # [L, ffn, d]
     b_fc2: jax.Array  # [L, d]
     ln_final: jax.Array  # [L, 2, d]
+    # tied LM head with the vocab padded to a 1024 multiple (so the kernel's
+    # vocab chunks stay 128-lane aligned); pad bias entries are -1e9 so a
+    # padded id can never win top-k even unsliced
+    w_lm: jax.Array  # [Vp, d]
+    b_lm: jax.Array  # [1, Vp] f32
 
 
 class DecodeCache(NamedTuple):
@@ -122,6 +127,12 @@ def build_decode_params(params: Params, dtype=jnp.bfloat16) -> DecodeParams:
         ],
         axis=-1,
     ).astype(jnp.float32)
+    w_shared = params["shared"]["weight"]
+    v, d_model = w_shared.shape
+    vp = -(-v // 1024) * 1024
+    w_lm = jnp.zeros((vp, d_model), dtype).at[:v].set(w_shared.astype(dtype))
+    b_lm = jnp.full((1, vp), -1e9, jnp.float32).at[0, :v].set(
+        params["final_logits_bias"].astype(jnp.float32))
     return DecodeParams(
         w_qkv=w_qkv,
         b_qkv=b_qkv,
@@ -138,6 +149,8 @@ def build_decode_params(params: Params, dtype=jnp.bfloat16) -> DecodeParams:
         w_fc2=_stack(layers, "fc2", "kernel").astype(dtype),
         b_fc2=_stack(layers, "fc2", "bias").astype(jnp.float32),
         ln_final=ln("final_layer_norm"),
+        w_lm=w_lm,
+        b_lm=b_lm,
     )
 
 
@@ -333,18 +346,17 @@ def decode_step_pallas(
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     group = (jnp.arange(bk, dtype=jnp.int32) // bkc) * bkc
     anc_hot = jax.nn.one_hot(cache.anc - group[None, :], bkc, dtype=mm_dtype)
-    x_out, k_new, v_new = decode_stack(
+    logits_p, _x_out, k_new, v_new = decode_stack(
         dp, x, pos, cache.self_k, cache.self_v, anc_hot,
         cache.cross_k, cache.cross_v,
-        enc_mask_bias[:, 0, 0, :].astype(jnp.float32), cfg, plan=plan,
-        interpret=interpret,
+        enc_mask_bias[:, 0, 0, :].astype(jnp.float32), dp.w_lm, dp.b_lm,
+        cfg, plan=plan, interpret=interpret,
     )
     new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, None, :, :],
                                          (0, pos, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],
                                          (0, pos, 0, 0))
     new_cache = cache._replace(self_k=new_k, self_v=new_v, pos=pos)
-    w_lm = params["shared"]["weight"].astype(dtype)
-    logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
-    logits = logits + params["final_logits_bias"].astype(jnp.float32)
+    # LM head ran in-kernel over the padded vocab; drop the pad columns
+    logits = logits_p[:, :params["shared"]["weight"].shape[0]]
     return logits, new_cache

@@ -67,10 +67,12 @@ class ChunkPlan(NamedTuple):
     n_ffn: int = 2    # fc1/fc2 column chunks
     vmem_mb: int = 110  # v5e VMEM is 128 MB
     n_t: int = 4      # time chunks per self row chunk (online softmax)
+    n_lm: int = 8     # vocab chunks for the in-kernel LM head
 
     @property
     def phases(self) -> int:
-        return self.n_self * self.n_t + self.n_cross + self.n_ffn
+        # the LM head runs on an extra grid iteration reusing these phases
+        return max(self.n_self * self.n_t + self.n_cross + self.n_ffn, self.n_lm)
 
 
 def _kernel(
@@ -98,10 +100,13 @@ def _kernel(
     cross_k_ref,   # [1, BC, H, hd, S] bf16
     cross_v_ref,   # [1, BC, H, hd, S] bf16
     enc_bias_ref,  # [BC, S] f32
+    w_lm_ref,      # [VB, d] bf16 — tied LM head rows for this vocab chunk
+    b_lm_ref,      # [1, VB] f32 — final_logits_bias chunk (pad rows -1e9)
     # outputs
     x_out_ref,     # [BK, d] bf16
     k_new_ref,     # [1, BKC, D] bf16
     v_new_ref,     # [1, BKC, D] bf16
+    logits_ref,    # [BK, VB] f32 — LM-head logits for this vocab chunk
     # scratch
     x_s,           # [BK, d] f32 — carried activation
     x1_s,          # [BK, d] f32 — post-self-attn
@@ -124,7 +129,7 @@ def _kernel(
 ):
     l = pl.program_id(0)
     p = pl.program_id(1)
-    n_layers = pl.num_programs(0)
+    n_layers = pl.num_programs(0) - 1  # last grid iteration runs the LM head
     pos = pos_ref[0]
     n_t = plan.n_t
     ns = plan.n_self * n_t
@@ -171,7 +176,7 @@ def _kernel(
         x_s[:] = x0_ref[:].astype(jnp.float32)
 
     # ---------------- self-attention (row chunk × time chunk) ---------------
-    @pl.when(p < ns)
+    @pl.when((l < n_layers) & (p < ns))
     def _self_attn():
         rows = pl.ds(chunk * bkc, bkc)
 
@@ -251,7 +256,7 @@ def _kernel(
             x1_s[rows, :] = ln(ln_s_ref, x_s[rows, :] + o)
 
     # ---------------- cross-attention batch chunk ---------------------------
-    @pl.when((p >= ns) & (p < ns + plan.n_cross))
+    @pl.when((l < n_layers) & (p >= ns) & (p < ns + plan.n_cross))
     def _cross_attn():
         rows = pl.ds((p - ns) * bc * beams, bc * beams)
         x_in = x1_s[rows, :]
@@ -297,7 +302,7 @@ def _kernel(
         x1_s[rows, :] = ln(ln_c_ref, x_in + o)
 
     # ---------------- FFN column chunk --------------------------------------
-    @pl.when(p >= ns + plan.n_cross)
+    @pl.when((l < n_layers) & (p >= ns + plan.n_cross))
     def _ffn():
         f = p - ns - plan.n_cross
         x_in = x1_s[:].astype(mm_dtype)
@@ -323,6 +328,18 @@ def _kernel(
             def _emit():
                 x_out_ref[:] = x_s[:].astype(x_out_ref.dtype)
 
+    # ---------------- LM head (extra grid iteration, vocab chunks) ----------
+    # The tied-embedding matmul streams through the same pipeline: ~103 MB of
+    # weight rows overlap the final FFN phases instead of a separate XLA
+    # dispatch reading x back from HBM.
+    @pl.when((l == n_layers) & (p < plan.n_lm))
+    def _lm_head():
+        logits = jax.lax.dot_general(
+            x_s[:].astype(mm_dtype), w_lm_ref[...].astype(mm_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [BK, VB]
+        logits_ref[...] = logits + b_lm_ref[0][None, :]
+
 
 def decode_stack(
     dp,                # infer.decode_fast.DecodeParams (stacked [L, ...])
@@ -334,16 +351,19 @@ def decode_stack(
     cross_k: jax.Array,  # [L, B, H, hd, S] bf16
     cross_v: jax.Array,
     enc_bias: jax.Array,  # [B, S] f32 additive pad bias
+    w_lm: jax.Array,   # [Vp, d] bf16 — tied LM head, vocab padded to n_lm·128k
+    b_lm: jax.Array,   # [1, Vp] f32 — final_logits_bias (pad entries -1e9)
     cfg: BartConfig,
     plan: ChunkPlan = ChunkPlan(),
     interpret: bool = False,
 ):
-    """→ (x_out [BK, d] bf16, k_new [L, BK, D] bf16, v_new [L, BK, D] bf16).
+    """→ (logits [BK, Vp] f32, x_out [BK, d], k_new [L, BK, D], v_new [L, BK, D]).
 
     The caller writes k_new/v_new into the HBM caches at time row `pos`
     (a [L,1,BK,D] dynamic_update_slice); beam reorders only recompose the
     ancestry matrix (infer/decode_fast.reorder_anc) — the cache itself is
-    write-once per row.
+    write-once per row. The LM head runs as an extra grid iteration so its
+    ~103 MB weight stream overlaps the last layer's phases.
     """
     L, T, bk, d = self_k.shape
     B = cross_k.shape[1]
@@ -356,34 +376,51 @@ def decode_stack(
     fc = dp.w_fc1.shape[2] // plan.n_ffn
     bkc = bk // plan.n_self
     bc = B // plan.n_cross
+    vp = w_lm.shape[0]
+    vb = vp // plan.n_lm
     assert bk % plan.n_self == 0 and B % plan.n_cross == 0 and T % n_t == 0
     # row chunks must hold whole beam groups: ancestry stays chunk-local
     assert bkc % beams == 0 and anc_hot.shape == (T, bk, bkc)
     assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 16 == 0
+    assert vp % plan.n_lm == 0 and b_lm.shape == (1, vp)
 
     n_self, n_cross = plan.n_self, plan.n_cross
     ns = n_self * n_t
 
-    def c(*idx):  # layer-constant block
-        return lambda l, p, pos_ref: (l, *idx)
+    # All per-layer block indices clamp l to the last real layer: the extra
+    # LM-head iteration (l == L) must not walk indices around (a changed
+    # block index would trigger a pointless re-fetch).
+    def c(*idx):  # per-layer block, layer-constant chunk index
+        return lambda l, p, pos_ref: (jnp.minimum(l, L - 1), *idx)
 
     def self_chunk(l, p, pos_ref):
-        return jnp.clip(p // n_t, 0, n_self - 1)
+        return jnp.where(l >= L, n_self - 1, jnp.clip(p // n_t, 0, n_self - 1))
 
     def self_tc(l, p, pos_ref):
         # time chunks beyond the decoded prefix map to the last needed chunk:
         # consecutive identical block indices are not re-fetched, so the
         # skipped chunks cost no HBM traffic.
         last = pos_ref[0] // tb
-        return jnp.where(p >= ns, last, jnp.minimum(p % n_t, last))
+        return jnp.where((p >= ns) | (l >= L), last, jnp.minimum(p % n_t, last))
 
     def self_cache_idx(l, p, pos_ref):
-        return (l, self_tc(l, p, pos_ref), self_chunk(l, p, pos_ref), 0)
+        return (jnp.minimum(l, L - 1), self_tc(l, p, pos_ref),
+                self_chunk(l, p, pos_ref), 0)
 
     def anc_idx(l, p, pos_ref):
         return (self_tc(l, p, pos_ref), self_chunk(l, p, pos_ref), 0)
 
-    grid = (L, plan.phases)
+    def cross_j(l, p, pos_ref):
+        return jnp.where(l >= L, n_cross - 1, jnp.clip(p - ns, 0, n_cross - 1))
+
+    def ffn_j(l, p, pos_ref):
+        return jnp.where(l >= L, plan.n_ffn - 1,
+                         jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1))
+
+    def lm_j(l, p, pos_ref):
+        return jnp.where(l >= L, jnp.clip(p, 0, plan.n_lm - 1), 0)
+
+    grid = (L + 1, plan.phases)
     specs = [
         pl.BlockSpec((bk, d), lambda l, p, pos_ref: (0, 0)),                 # x0
         pl.BlockSpec((1, d, 3 * d), c(0, 0)),                                # w_qkv
@@ -397,34 +434,38 @@ def decode_stack(
         pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_co
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_c
         pl.BlockSpec((1, d, fc),
-                     lambda l, p, pos_ref: (l, 0, jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1))),
+                     lambda l, p, pos_ref: (jnp.minimum(l, L - 1), 0, ffn_j(l, p, pos_ref))),
         pl.BlockSpec((1, 1, fc),
-                     lambda l, p, pos_ref: (l, 0, jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1))),
+                     lambda l, p, pos_ref: (jnp.minimum(l, L - 1), 0, ffn_j(l, p, pos_ref))),
         pl.BlockSpec((1, fc, d),
-                     lambda l, p, pos_ref: (l, jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1), 0)),
+                     lambda l, p, pos_ref: (jnp.minimum(l, L - 1), ffn_j(l, p, pos_ref), 0)),
         pl.BlockSpec((1, 1, d), c(0, 0)),                                    # b_fc2
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_k
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_v
         pl.BlockSpec((tb, bkc, bkc), anc_idx),                               # anc_hot
         pl.BlockSpec((1, bc, H, hd, S),
-                     lambda l, p, pos_ref: (l, jnp.clip(p - ns, 0, n_cross - 1), 0, 0, 0)),
+                     lambda l, p, pos_ref: (jnp.minimum(l, L - 1), cross_j(l, p, pos_ref), 0, 0, 0)),
         pl.BlockSpec((1, bc, H, hd, S),
-                     lambda l, p, pos_ref: (l, jnp.clip(p - ns, 0, n_cross - 1), 0, 0, 0)),
+                     lambda l, p, pos_ref: (jnp.minimum(l, L - 1), cross_j(l, p, pos_ref), 0, 0, 0)),
         pl.BlockSpec((bc, S),
-                     lambda l, p, pos_ref: (jnp.clip(p - ns, 0, n_cross - 1), 0)),  # enc_bias
+                     lambda l, p, pos_ref: (cross_j(l, p, pos_ref), 0)),     # enc_bias
+        pl.BlockSpec((vb, d), lambda l, p, pos_ref: (lm_j(l, p, pos_ref), 0)),  # w_lm
+        pl.BlockSpec((1, vb), lambda l, p, pos_ref: (0, lm_j(l, p, pos_ref))),  # b_lm
     ]
     out_specs = [
         pl.BlockSpec((bk, d), lambda l, p, pos_ref: (0, 0)),                 # x_out
         pl.BlockSpec((1, bkc, d),
-                     lambda l, p, pos_ref: (l, self_chunk(l, p, pos_ref), 0)),
+                     lambda l, p, pos_ref: (jnp.minimum(l, L - 1), self_chunk(l, p, pos_ref), 0)),
         pl.BlockSpec((1, bkc, d),
-                     lambda l, p, pos_ref: (l, self_chunk(l, p, pos_ref), 0)),
+                     lambda l, p, pos_ref: (jnp.minimum(l, L - 1), self_chunk(l, p, pos_ref), 0)),
+        pl.BlockSpec((bk, vb), lambda l, p, pos_ref: (0, lm_j(l, p, pos_ref))),  # logits
     ]
     out_shape = [
         jax.ShapeDtypeStruct((bk, d), x0.dtype),
         jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
         jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
+        jax.ShapeDtypeStruct((bk, vp), jnp.float32),
     ]
     # pallas interpret mode on CPU lacks bf16xbf16=f32 dot thunks
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
@@ -450,7 +491,7 @@ def decode_stack(
             pltpu.VMEM((bkc, d), jnp.float32),   # pap_s
         ],
     )
-    return pl.pallas_call(
+    x_out, k_new, v_new, logits = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -465,5 +506,6 @@ def decode_stack(
         dp.b_cross_out[:, None, :], dp.ln_cross,
         dp.w_fc1, dp.b_fc1[:, None, :], dp.w_fc2, dp.b_fc2[:, None, :],
         dp.ln_final,
-        self_k, self_v, anc_hot, cross_k, cross_v, enc_bias,
+        self_k, self_v, anc_hot, cross_k, cross_v, enc_bias, w_lm, b_lm,
     )
+    return logits, x_out, k_new, v_new

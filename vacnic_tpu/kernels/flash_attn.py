@@ -26,9 +26,16 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, kv_len: int):
-    """One (batch*head, q-block) program: stream KV blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32)  # [block_q, d]
+    """One (batch*head, q-block) program: stream KV blocks with online softmax.
+
+    Matmuls run in the INPUT dtype (bf16 on TPU) with f32 accumulation —
+    upcasting q/k/v to f32 first halves MXU throughput and was why the
+    kernel only matched the XLA path; probs are cast back to the input
+    dtype before the value matmul, exactly like models/layers.attention_core.
+    Softmax statistics stay f32."""
+    q = q_ref[0]  # [block_q, d], input dtype
     block_q, d = q.shape
+    mm = q.dtype
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)  # running max
     l = jnp.zeros((block_q, 1), jnp.float32)  # running denom
@@ -38,15 +45,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, kv_len:
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         b = bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b  # [bq, bk]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc_new = acc * alpha + jnp.dot(p.astype(mm), v,
+                                        preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))

@@ -1,0 +1,79 @@
+"""Decompose the multimodal-encoder cost on the real chip.
+
+The mm encoder measures 109.2 ms at batch 32 / S=512 / bf16 vs a ~57 ms
+matmul roofline (CLAUDE.md); the flash-attention probe ruled OUT the
+attention-score materialization as the gap. Variants (ENC_MODE, one per
+process — remote compiles are erratic):
+
+  full      — mm_encoder_fwd with all streams (sanity anchor vs bench_encoder)
+  text      — plain text-only BART encoder at the same shapes: the fusion
+              delta (streams, extra attentions, masks) is full - text
+  onlyimg   — only_image variant (img stream, no face/ner): face+ner delta
+  b64       — full at batch 64: fixed-overhead amortization check
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vacnic_tpu.core.config import VacnicConfig
+from vacnic_tpu.data.synthetic import synthetic_batch
+from vacnic_tpu.models import bart as B
+from vacnic_tpu.models import fusion as F
+from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+
+def main():
+    import dataclasses
+
+    mode = os.environ.get("ENC_MODE", "full")
+    cfg = VacnicConfig.full_train()
+    if mode == "onlyimg":
+        cfg = dataclasses.replace(cfg, fusion=dataclasses.replace(cfg.fusion, only_image=True))
+    batch_size = 64 if mode == "b64" else 32
+    key = jax.random.PRNGKey(0)
+    params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
+    batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
+
+    if mode == "text":
+        @jax.jit
+        def enc(params, batch):
+            src = batch["article_ids"]
+            out = B.encoder_fwd(params, src, create_mask(src), cfg.bart,
+                                dtype=jnp.bfloat16)
+            return out[0, 0, :8]
+    else:
+        @jax.jit
+        def enc(params, batch):
+            src = batch["article_ids"]
+            kw = {}
+            if not cfg.fusion.only_image:
+                kw = dict(face_features=batch["face_emb"],
+                          face_mask=face_mask_from_emb(batch["face_emb"]),
+                          name_ids=batch["names_art_ids"],
+                          name_mask=create_mask(batch["names_art_ids"]))
+            out = F.mm_encoder_fwd(params, src, create_mask(src),
+                                   batch["image_cls"], cfg.bart, cfg.fusion,
+                                   dtype=jnp.bfloat16, **kw)
+            return out["last_hidden"][0, 0, :8]
+
+    print(f"compiling {mode}...", file=sys.stderr, flush=True)
+    _ = np.asarray(enc(params, batch))
+    best = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(enc(params, batch))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{mode} (batch {batch_size}, S=512, bf16): {best*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,7 +67,9 @@ class ChunkPlan(NamedTuple):
     n_ffn: int = 2    # fc1/fc2 column chunks
     vmem_mb: int = 110  # v5e VMEM is 128 MB
     n_t: int = 4      # time chunks per self row chunk (online softmax)
-    n_lm: int = 8     # vocab chunks for the in-kernel LM head
+    n_lm: int = 16    # vocab chunks for the in-kernel LM head (VB=3200 at
+                      # bart-large: a 6.6 MB weight block — 8 chunks OOM'd
+                      # the VMEM stack by 2.8M with double buffering)
 
     @property
     def phases(self) -> int:

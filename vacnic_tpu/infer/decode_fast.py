@@ -340,11 +340,15 @@ def decode_step_pallas(
         # hold the self-phase count ≈16 as row chunks multiply: more grid
         # phases measurably cost (~5% at batch 64 with n_self*n_t = 32)
         n_t = max(1, 16 // n_self)
+        # the [BK, VB] logits block scales with batch — narrow the vocab
+        # chunks at large BK or the VMEM stack overflows (b128: +5 MB)
+        n_lm = 16 if bk <= 480 else 32
         plan = ChunkPlan(
             n_self=n_self,
             n_cross=n_cross,
             n_ffn=2 if dp.w_fc1.shape[2] % 2 == 0 else 1,
             n_t=n_t,
+            n_lm=n_lm,
         )
     bkc = bk // plan.n_self
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16

@@ -343,6 +343,11 @@ def decode_step_pallas(
         # the [BK, VB] logits block scales with batch — narrow the vocab
         # chunks at large BK or the VMEM stack overflows (b128: +5 MB)
         n_lm = 16 if bk <= 480 else 32
+        # measurement overrides (scripts/bench_decode_kernel.py sweeps)
+        import os as _os
+
+        n_t = int(_os.environ.get("VACNIC_PLAN_NT", n_t))
+        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", n_lm))
         plan = ChunkPlan(
             n_self=n_self,
             n_cross=n_cross,

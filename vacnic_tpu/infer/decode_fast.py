@@ -55,9 +55,9 @@ class DecodeParams(NamedTuple):
     w_fc2: jax.Array  # [L, ffn, d]
     b_fc2: jax.Array  # [L, d]
     ln_final: jax.Array  # [L, 2, d]
-    # tied LM head with the vocab padded to a 1024 multiple (so the kernel's
-    # vocab chunks stay 128-lane aligned); pad bias entries are -1e9 so a
-    # padded id can never win top-k even unsliced
+    # tied LM head with the vocab padded to a 4096 multiple (so the kernel's
+    # vocab chunks stay 128-lane aligned for n_lm up to 32); pad bias entries
+    # are -1e9 so a padded id can never win top-k even unsliced
     w_lm: jax.Array  # [Vp, d]
     b_lm: jax.Array  # [1, Vp] f32
 
@@ -129,7 +129,8 @@ def build_decode_params(params: Params, dtype=jnp.bfloat16) -> DecodeParams:
     ).astype(jnp.float32)
     w_shared = params["shared"]["weight"]
     v, d_model = w_shared.shape
-    vp = -(-v // 1024) * 1024
+    # pad so vp/n_lm stays 128-lane-divisible for any n_lm in {8, 16, 32}
+    vp = -(-v // 4096) * 4096
     w_lm = jnp.zeros((vp, d_model), dtype).at[:v].set(w_shared.astype(dtype))
     b_lm = jnp.full((1, vp), -1e9, jnp.float32).at[0, :v].set(
         params["final_logits_bias"].astype(jnp.float32))

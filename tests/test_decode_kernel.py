@@ -103,6 +103,23 @@ def test_multi_step_parity(setup):
                                atol=5e-2, rtol=5e-2)
 
 
+def test_single_step_parity_inkernel_lm(setup):
+    """The optional in-kernel LM head (ChunkPlan.n_lm > 0) must produce the
+    same logits as the default XLA LM head path."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    tok = jnp.full((bk, 1), 5, jnp.int32)
+    pos = jnp.int32(0)
+    ref, _ = _jit_steps(cfg, dp, params, enc_bias)
+    pal_lm = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32,
+        plan=PLAN._replace(n_lm=4), interpret=True))
+    ref_logits, _ = ref(cache, tok, pos)
+    pal_logits, _ = pal_lm(cache_tm, tok, pos)
+    np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_beam_reorder_ancestry_parity(setup):
     """Random within-group beam selections over 5 steps: the pallas path's
     ancestry recompose (reorder_anc — no cache gather) must produce logits

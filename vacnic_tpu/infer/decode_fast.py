@@ -338,17 +338,12 @@ def decode_step_pallas(
 
         n_self = pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
         n_cross = pick(max(1, b // 8), lambda n: True)
-        # hold the self-phase count ≈16 as row chunks multiply: more grid
-        # phases measurably cost (~5% at batch 64 with n_self*n_t = 32)
-        n_t = max(1, 16 // n_self)
-        # the [BK, VB] logits block scales with batch — narrow the vocab
-        # chunks at large BK or the VMEM stack overflows (b128: +5 MB)
-        n_lm = 16 if bk <= 480 else 32
-        # measurement overrides (scripts/bench_decode_kernel.py sweeps)
+        # measurement overrides (on-chip plan sweeps); n_lm=0 keeps the LM
+        # head in XLA (measured faster end-to-end — ChunkPlan.n_lm)
         import os as _os
 
-        n_t = int(_os.environ.get("VACNIC_PLAN_NT", n_t))
-        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", n_lm))
+        n_t = int(_os.environ.get("VACNIC_PLAN_NT", 4))
+        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 0))
         plan = ChunkPlan(
             n_self=n_self,
             n_cross=n_cross,
@@ -360,7 +355,7 @@ def decode_step_pallas(
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     group = (jnp.arange(bk, dtype=jnp.int32) // bkc) * bkc
     anc_hot = jax.nn.one_hot(cache.anc - group[None, :], bkc, dtype=mm_dtype)
-    logits_p, _x_out, k_new, v_new = decode_stack(
+    logits_p, x_out, k_new, v_new = decode_stack(
         dp, x, pos, cache.self_k, cache.self_v, anc_hot,
         cache.cross_k, cache.cross_v,
         enc_mask_bias[:, 0, 0, :].astype(jnp.float32), dp.w_lm, dp.b_lm,
@@ -371,6 +366,11 @@ def decode_step_pallas(
     new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],
                                          (0, pos, 0, 0))
     new_cache = cache._replace(self_k=new_k, self_v=new_v, pos=pos)
-    # LM head ran in-kernel over the padded vocab; drop the pad columns
-    logits = logits_p[:, :params["shared"]["weight"].shape[0]]
+    if plan.n_lm > 0:
+        # LM head ran in-kernel over the padded vocab; drop the pad columns
+        logits = logits_p[:, :params["shared"]["weight"].shape[0]]
+    else:
+        w_lm = params["shared"]["weight"].astype(dtype)
+        logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
+        logits = logits + params["final_logits_bias"].astype(jnp.float32)
     return logits, new_cache

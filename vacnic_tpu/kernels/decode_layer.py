@@ -67,13 +67,16 @@ class ChunkPlan(NamedTuple):
     n_ffn: int = 2    # fc1/fc2 column chunks
     vmem_mb: int = 110  # v5e VMEM is 128 MB
     n_t: int = 4      # time chunks per self row chunk (online softmax)
-    n_lm: int = 16    # vocab chunks for the in-kernel LM head (VB=3200 at
-                      # bart-large: a 6.6 MB weight block — 8 chunks OOM'd
-                      # the VMEM stack by 2.8M with double buffering)
+    # In-kernel LM head: 0 = off (XLA computes the LM head from x_out —
+    # MEASURED FASTER end-to-end: XLA fuses the tied matmul into the
+    # log_softmax passes better than the kernel's extra grid iteration,
+    # 109.7 vs 103.8 cps at batch 64). >0 = vocab chunks for the in-kernel
+    # variant (16 fits the VMEM stack at bart-large; 8 OOMs by ~3-4 MB).
+    n_lm: int = 0
 
     @property
     def phases(self) -> int:
-        # the LM head runs on an extra grid iteration reusing these phases
+        # the LM head (if on) runs on an extra grid iteration reusing these
         return max(self.n_self * self.n_t + self.n_cross + self.n_ffn, self.n_lm)
 
 
@@ -129,9 +132,11 @@ def _kernel(
     act_name: str,
     mm_dtype=jnp.bfloat16,
 ):
+    use_lm = plan.n_lm > 0
     l = pl.program_id(0)
     p = pl.program_id(1)
-    n_layers = pl.num_programs(0) - 1  # last grid iteration runs the LM head
+    # with the in-kernel LM head, the last grid iteration runs it
+    n_layers = pl.num_programs(0) - (1 if use_lm else 0)
     pos = pos_ref[0]
     n_t = plan.n_t
     ns = plan.n_self * n_t
@@ -331,16 +336,16 @@ def _kernel(
                 x_out_ref[:] = x_s[:].astype(x_out_ref.dtype)
 
     # ---------------- LM head (extra grid iteration, vocab chunks) ----------
-    # The tied-embedding matmul streams through the same pipeline: ~103 MB of
-    # weight rows overlap the final FFN phases instead of a separate XLA
-    # dispatch reading x back from HBM.
-    @pl.when((l == n_layers) & (p < plan.n_lm))
-    def _lm_head():
-        logits = jax.lax.dot_general(
-            x_s[:].astype(mm_dtype), w_lm_ref[...].astype(mm_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [BK, VB]
-        logits_ref[...] = logits + b_lm_ref[0][None, :]
+    # Optional: the tied-embedding matmul streamed through the same pipeline.
+    # Default OFF — see ChunkPlan.n_lm.
+    if use_lm:
+        @pl.when((l == n_layers) & (p < plan.n_lm))
+        def _lm_head():
+            logits = jax.lax.dot_general(
+                x_s[:].astype(mm_dtype), w_lm_ref[...].astype(mm_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [BK, VB]
+            logits_ref[...] = logits + b_lm_ref[0][None, :]
 
 
 def decode_stack(
@@ -378,13 +383,18 @@ def decode_stack(
     fc = dp.w_fc1.shape[2] // plan.n_ffn
     bkc = bk // plan.n_self
     bc = B // plan.n_cross
+    use_lm = plan.n_lm > 0
+    if not use_lm:
+        # LM head stays in XLA: tiny dummies keep the kernel signature fixed
+        w_lm = jnp.zeros((128, d), self_k.dtype)
+        b_lm = jnp.zeros((1, 128), jnp.float32)
     vp = w_lm.shape[0]
-    vb = vp // plan.n_lm
+    vb = vp // plan.n_lm if use_lm else 128
     assert bk % plan.n_self == 0 and B % plan.n_cross == 0 and T % n_t == 0
     # row chunks must hold whole beam groups: ancestry stays chunk-local
     assert bkc % beams == 0 and anc_hot.shape == (T, bk, bkc)
     assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 16 == 0
-    assert vp % plan.n_lm == 0 and b_lm.shape == (1, vp)
+    assert not use_lm or (vp % plan.n_lm == 0 and b_lm.shape == (1, vp))
 
     n_self, n_cross = plan.n_self, plan.n_cross
     ns = n_self * n_t
@@ -422,7 +432,7 @@ def decode_stack(
     def lm_j(l, p, pos_ref):
         return jnp.where(l >= L, jnp.clip(p, 0, plan.n_lm - 1), 0)
 
-    grid = (L + 1, plan.phases)
+    grid = (L + 1 if use_lm else L, plan.phases)
     specs = [
         pl.BlockSpec((bk, d), lambda l, p, pos_ref: (0, 0)),                 # x0
         pl.BlockSpec((1, d, 3 * d), c(0, 0)),                                # w_qkv

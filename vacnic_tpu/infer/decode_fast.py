@@ -338,12 +338,17 @@ def decode_step_pallas(
 
         n_self = pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
         n_cross = pick(max(1, b // 8), lambda n: True)
-        # measurement overrides (on-chip plan sweeps); n_lm=0 keeps the LM
-        # head in XLA (measured faster end-to-end — ChunkPlan.n_lm)
+        # Best measured per-batch configs on v5e (clean serial runs):
+        #   b32  (bk 160): n_t=4, XLA LM head          -> ~88-91 cps
+        #   b64  (bk 320): n_t=2, in-kernel LM n_lm=32 -> 107.4 cps
+        #   b128 (bk 640): n_t=1, in-kernel LM n_lm=32 -> 115.3 cps
+        # Rule: time chunks shrink as row chunks multiply (phase count ~16);
+        # the in-kernel LM head wins once its weight stream amortizes over
+        # more rows. VACNIC_PLAN_NT / VACNIC_PLAN_NLM override for sweeps.
         import os as _os
 
-        n_t = int(_os.environ.get("VACNIC_PLAN_NT", 4))
-        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 0))
+        n_t = int(_os.environ.get("VACNIC_PLAN_NT", max(1, 16 // n_self)))
+        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 0 if bk <= 160 else 32))
         plan = ChunkPlan(
             n_self=n_self,
             n_cross=n_cross,

@@ -347,8 +347,13 @@ def decode_step_pallas(
         # more rows. VACNIC_PLAN_NT / VACNIC_PLAN_NLM override for sweeps.
         import os as _os
 
+        # in-kernel LM default only at bk≈320: at bk 640 the [BK, VB] logits
+        # blocks leave <2 MB of VMEM-stack slack and the compiler's stack
+        # accounting drifts a few MB between compiles — too flaky for the
+        # recorded bench; XLA LM head there (VACNIC_PLAN_NLM=32 re-enables,
+        # measured 115.3 cps when it compiles vs the reliable default)
         n_t = int(_os.environ.get("VACNIC_PLAN_NT", max(1, 16 // n_self)))
-        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 0 if bk <= 160 else 32))
+        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
         plan = ChunkPlan(
             n_self=n_self,
             n_cross=n_cross,

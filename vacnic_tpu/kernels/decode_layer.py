@@ -65,7 +65,7 @@ class ChunkPlan(NamedTuple):
     n_self: int = 4   # B·K row chunks for self-attention
     n_cross: int = 4  # batch chunks for cross-attention
     n_ffn: int = 2    # fc1/fc2 column chunks
-    vmem_mb: int = 110  # v5e VMEM is 128 MB
+    vmem_mb: int = 121  # v5e VMEM is 128 MB; b128 needs ~118 of scoped stack
     n_t: int = 4      # time chunks per self row chunk (online softmax)
     # In-kernel LM head: 0 = off (XLA computes the LM head from x_out —
     # MEASURED FASTER end-to-end: XLA fuses the tied matmul into the

@@ -120,6 +120,25 @@ def test_single_step_parity_inkernel_lm(setup):
                                atol=3e-2, rtol=3e-2)
 
 
+def test_inkernel_lm_pad_phases_parity(setup):
+    """n_lm larger than the body phase count pads plan.phases — the FFN
+    guard must not re-run its last chunk on the pad phases (regression: it
+    did, re-accumulating fc2 output into acc_s on every pad phase)."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    tok = jnp.full((bk, 1), 5, jnp.int32)
+    pos = jnp.int32(2)
+    ref, _ = _jit_steps(cfg, dp, params, enc_bias)
+    plan = PLAN._replace(n_t=1, n_lm=8)  # body phases 6 < n_lm 8
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32,
+        plan=plan, interpret=True))
+    ref_logits, _ = ref(cache, tok, pos)
+    pal_logits, _ = pal(cache_tm, tok, pos)
+    np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_beam_reorder_ancestry_parity(setup):
     """Random within-group beam selections over 5 steps: the pallas path's
     ancestry recompose (reorder_anc — no cache gather) must produce logits

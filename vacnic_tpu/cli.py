@@ -440,7 +440,8 @@ def main(argv=None) -> int:
     sp.add_argument("--set", action="append")
     sp.add_argument("--sharded", action="store_true",
                     help="shard the beam search over all visible devices "
-                         "(batch size must divide the device count)")
+                         "(the device count must divide the batch size; "
+                         "non-divisible tail batches decode single-program)")
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("retrieve", help="CLIP sentence-retrieval preprocessing")

@@ -81,6 +81,18 @@ class DecodeCache(NamedTuple):
     pos: jax.Array | None = None  # scalar int32 — last written time row
 
 
+def pallas_plan_exists(b: int, beams: int) -> bool:
+    """True iff the auto ChunkPlan can chunk batch·beams legally for Mosaic:
+    some row-chunk count n with whole batch items per chunk (b % n == 0,
+    which also keeps beam groups whole) and 8-aligned chunk rows. On CPU the
+    kernel runs in interpret mode with no Mosaic constraints."""
+    if jax.default_backend() == "cpu":
+        return True
+    bk = b * beams
+    return any(b % n == 0 and (bk // n) % 8 == 0
+               for n in (max(1, bk // 40), 8, 4, 2, 1))
+
+
 def reorder_anc(cache: DecodeCache, flat_sel: jax.Array) -> DecodeCache:
     """Beam 'reorder' for the pallas path: compose the ancestry with the beam
     selection instead of gathering cache data. Rows after `pos` reset to
@@ -325,6 +337,7 @@ def decode_step_pallas(
     bk = tok.shape[0]
     b = cache.cross_k.shape[1]
     beams = bk // b
+    t_max = cache.self_k.shape[1]  # time-major cache: [L, T, BK, D]
     if plan is None:
         # Chunk counts scale with batch so the per-phase VMEM footprint stays
         # at the proven batch-32 shape (bkc≈40 rows, bc≈8 batch items).
@@ -354,6 +367,10 @@ def decode_step_pallas(
         # measured 115.3 cps when it compiles vs the reliable default)
         n_t = int(_os.environ.get("VACNIC_PLAN_NT", max(1, 16 // n_self)))
         n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
+        if t_max % n_t:
+            # largest divisor of T not exceeding the request — decode_stack
+            # would otherwise silently reset to 1 and corrupt sweep records
+            n_t = next(n for n in range(n_t, 0, -1) if t_max % n == 0)
         plan = ChunkPlan(
             n_self=n_self,
             n_cross=n_cross,

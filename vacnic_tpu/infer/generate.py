@@ -47,6 +47,11 @@ def _decode_from_encoder(
         use_pallas = jax.default_backend() != "cpu"
     else:
         use_pallas = env == "1"
+    # the kernel needs a Mosaic-legal chunking (8-aligned row chunks holding
+    # whole beam groups); odd batches — e.g. a loader's tail — fall back to
+    # the XLA step rather than fail to compile
+    if use_pallas and not DF.pallas_plan_exists(bsz, k):
+        use_pallas = False
     pad_to = 16 if use_pallas else int(os.environ.get("VACNIC_CACHE_PAD", 1))
     dp = DF.build_decode_params(params, dtype)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
@@ -177,8 +182,8 @@ def generate_mm_sharded(
     XLA path, but the fused Pallas decode kernel (VACNIC_PALLAS_DECODE=1) is
     a per-chip program — shard_map makes each chip run the whole search on
     its batch shard with replicated params, no cross-chip traffic after the
-    batch scatter. Batch must divide the data-axis size."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch scatter. The data-axis size must divide the batch."""
+    from jax.sharding import PartitionSpec as P
 
     try:
         from jax import shard_map as _smap  # jax >= 0.7 top-level export
@@ -209,5 +214,16 @@ def generate_mm_sharded(
 
     mm = (face_features, face_mask, name_ids, name_mask)
     in_specs = (r, b, b, b) + tuple(r if x is None else b for x in mm)
-    fn = jax.jit(smap(body, in_specs=in_specs, out_specs=(b, b)))
+    # fresh jit-of-shard_map objects miss jax's identity-keyed cache, so a
+    # per-call construction would re-trace + remote-compile the whole search
+    # every batch — cache the compiled fn on the static configuration
+    key = (mesh, cfg, fcfg, dcfg, add_ner_ffn, jnp.dtype(dtype).name,
+           data_axis, tuple(x is None for x in mm))
+    fn = _SHARDED_FNS.get(key)
+    if fn is None:
+        fn = jax.jit(smap(body, in_specs=in_specs, out_specs=(b, b)))
+        _SHARDED_FNS[key] = fn
     return fn(params, input_ids, attention_mask, image_features, *mm)
+
+
+_SHARDED_FNS: dict = {}

@@ -309,7 +309,10 @@ def _kernel(
         x1_s[rows, :] = ln(ln_c_ref, x_in + o)
 
     # ---------------- FFN column chunk --------------------------------------
-    @pl.when((l < n_layers) & (p >= ns + plan.n_cross))
+    # upper bound matters: when n_lm pads plan.phases past the body phases,
+    # an unbounded guard would re-run the last FFN chunk on every pad phase
+    @pl.when((l < n_layers) & (p >= ns + plan.n_cross)
+             & (p < ns + plan.n_cross + plan.n_ffn))
     def _ffn():
         f = p - ns - plan.n_cross
         x_in = x1_s[:].astype(mm_dtype)

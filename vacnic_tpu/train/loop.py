@@ -70,6 +70,9 @@ def fit(
     # Cross-epoch cache of the frozen CoLaM teacher's pooled states, keyed by
     # dataset row id: the teacher is deterministic, so epochs >= 2 can skip
     # its full BART forward (numerics-identical; TrainConfig.teacher_cache).
+    # Host-RAM footprint: one fp32 d_model vector per dataset row — ~1.7 GB
+    # at GoodNews scale (424k × 1024) — kept fp32 so the cached path is
+    # bit-identical to the teacher forward.
     teacher_vecs: dict[int, np.ndarray] = {}
     use_tcache = cfg.train.teacher_cache and cfg.train.alpha > 0
     for epoch in range(cfg.train.num_epochs):

@@ -377,6 +377,8 @@ def decode_step_pallas(
             n_ffn=2 if dp.w_fc1.shape[2] % 2 == 0 else 1,
             n_t=n_t,
             n_lm=n_lm,
+            vmem_mb=int(_os.environ.get("VACNIC_PLAN_VMEM",
+                                        ChunkPlan._field_defaults["vmem_mb"])),
         )
     bkc = bk // plan.n_self
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16

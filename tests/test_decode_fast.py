@@ -46,3 +46,25 @@ def test_decode_fast_matches_reference_path(rng):
             np.asarray(logits), ref_logits[t], atol=2e-4, rtol=2e-4,
             err_msg=f"step {t}",
         )
+
+
+def test_pallas_plan_exists_gate(monkeypatch):
+    """The default-on Pallas gate must reject batches with no Mosaic-legal
+    chunking (8-aligned row chunks of whole batch items) on accelerators and
+    always pass on CPU (interpret mode has no such constraints)."""
+    import jax
+
+    from vacnic_tpu.infer.decode_fast import pallas_plan_exists
+
+    # CPU: always true
+    assert pallas_plan_exists(3, 5)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # bench shapes: fine
+    assert pallas_plan_exists(32, 5)
+    assert pallas_plan_exists(64, 5)
+    assert pallas_plan_exists(128, 5)
+    assert pallas_plan_exists(8, 2)     # n=1 -> bkc=16, 8-aligned
+    # odd tails with no 8-aligned whole-item chunking: rejected
+    assert not pallas_plan_exists(3, 5)   # bk=15
+    assert not pallas_plan_exists(11, 5)  # bk=55
+    assert not pallas_plan_exists(1, 4)   # bk=4

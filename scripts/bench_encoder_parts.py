@@ -10,6 +10,8 @@ process — remote compiles are erratic):
               delta (streams, extra attentions, masks) is full - text
   onlyimg   — only_image variant (img stream, no face/ner): face+ner delta
   b64       — full at batch 64: fixed-overhead amortization check
+  fused     — mm_encoder_fwd_fused (Pallas text stack, kernels/encoder_stack)
+  fusedparity — one-off on-chip numeric check of fused vs XLA
 """
 
 from __future__ import annotations
@@ -43,6 +45,33 @@ def main():
     params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
     batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
 
+    def mm_kwargs(batch):
+        if cfg.fusion.only_image:
+            return {}
+        return dict(face_features=batch["face_emb"],
+                    face_mask=face_mask_from_emb(batch["face_emb"]),
+                    name_ids=batch["names_art_ids"],
+                    name_mask=create_mask(batch["names_art_ids"]))
+
+    if mode == "fusedparity":
+        @jax.jit
+        def both(params, batch):
+            src = batch["article_ids"]
+            a = F.mm_encoder_fwd(params, src, create_mask(src), batch["image_cls"],
+                                 cfg.bart, cfg.fusion, dtype=jnp.bfloat16,
+                                 **mm_kwargs(batch))["last_hidden"]
+            b = F.mm_encoder_fwd_fused(params, src, create_mask(src),
+                                       batch["image_cls"], cfg.bart, cfg.fusion,
+                                       dtype=jnp.bfloat16, **mm_kwargs(batch))["last_hidden"]
+            d = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+            return jnp.max(d), jnp.mean(d)
+
+        print("compiling fusedparity...", file=sys.stderr, flush=True)
+        mx, mn = both(params, batch)
+        print(f"fused-vs-XLA last_hidden: max|d|={float(np.asarray(mx)):.4f} "
+              f"mean|d|={float(np.asarray(mn)):.6f}")
+        return
+
     if mode == "text":
         @jax.jit
         def enc(params, batch):
@@ -50,6 +79,14 @@ def main():
             out = B.encoder_fwd(params, src, create_mask(src), cfg.bart,
                                 dtype=jnp.bfloat16)
             return out[0, 0, :8]
+    elif mode == "fused":
+        @jax.jit
+        def enc(params, batch):
+            src = batch["article_ids"]
+            out = F.mm_encoder_fwd_fused(params, src, create_mask(src),
+                                         batch["image_cls"], cfg.bart, cfg.fusion,
+                                         dtype=jnp.bfloat16, **mm_kwargs(batch))
+            return out["last_hidden"][0, 0, :8]
     else:
         @jax.jit
         def enc(params, batch):

@@ -148,11 +148,26 @@ def generate_mm(
 ):
     """Multimodal caption generation — `model.generate(...)` equivalent
     (train...match.py:513-520 call signature)."""
-    enc = F.mm_encoder_fwd(
-        params, input_ids, attention_mask, image_features, cfg, fcfg,
-        face_features=face_features, face_mask=face_mask,
-        name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn, dtype=dtype,
-    )
+    import os as _os
+
+    # fused Pallas encoder stack (kernels/encoder_stack) — opt-in while the
+    # on-chip win is being established; parity pinned in
+    # tests/test_encoder_stack.py
+    if (_os.environ.get("VACNIC_PALLAS_ENCODER") == "1"
+            and F.fused_encoder_eligible(fcfg, cfg, add_ner_ffn, None)):
+        enc = F.mm_encoder_fwd_fused(
+            params, input_ids, attention_mask, image_features, cfg, fcfg,
+            face_features=face_features, face_mask=face_mask,
+            name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
+            dtype=dtype,
+        )
+    else:
+        enc = F.mm_encoder_fwd(
+            params, input_ids, attention_mask, image_features, cfg, fcfg,
+            face_features=face_features, face_mask=face_mask,
+            name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
+            dtype=dtype,
+        )
     return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg, dcfg, dtype)
 
 

@@ -1,0 +1,275 @@
+"""Fused multimodal-encoder text stack: all encoder layers' TEXT path in one
+Pallas kernel (inference).
+
+Why (docs/ARCHITECTURE.md round-3 note): at batch 32 / S=512 the XLA encoder
+measures 109.2 ms vs a ~57 ms matmul roofline, and the gap lives in the
+vanilla transformer path (text-only = 85.0 ms) — ~10 inter-op HBM round
+trips per layer for scores/probs/FFN intermediates/LN islands. Flash
+attention alone LOSES to XLA here (130.0 ms measured), so the win has to
+come from keeping the whole [B, S, d] activation VMEM-RESIDENT across all
+layers and phases, which this kernel does (33.5 MB at batch 32 — the
+decode kernel's carried-scratch pattern, scaled up).
+
+Key structural fact that makes this possible: the fusion streams
+(img/face/ner) evolve INDEPENDENTLY of the text states (models/fusion.py
+fusion_encoder_layer_fwd computes them only from each other), so the caller
+precomputes, per layer, the cross-attention K/V over the multimodal prompt
+(kv_l = concat(img_l, ner_prefix_l), already projected through the layer's
+cross k/v weights) and the kernel consumes them like the decode kernel's
+beam-invariant cross K/V. Supported configs: add_ner_ffn=True (released
+run_full_train.sh config) and only_image — the add_ner_ffn=False variant
+puts x itself in the KV and stays on the XLA path.
+
+Grid = (layer, phases): NS batch-chunk phases each doing
+self-attention (per-head full-S scores — S=512 fits VMEM per chunk, no
+online softmax needed) + cross-attention (tiny KV) + their layernorms,
+then one FFN phase looping the row chunks with fc1/fc2 resident.
+
+Numerics: bf16 matmuls with f32 accumulation, f32 layernorms/softmax —
+identical recipe to models/layers.attention_core; parity pinned in
+tests/test_encoder_stack.py (interpret mode) and on-chip via
+scripts/bench_encoder_parts.py ENC_MODE=fusedparity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vacnic_tpu.core.config import BartConfig
+from vacnic_tpu.models.layers import ACT2FN
+
+
+class EncPlan(NamedTuple):
+    n_self: int = 8    # batch chunks for the attention phases
+    vmem_mb: int = 121
+
+    @property
+    def phases(self) -> int:
+        return self.n_self + 1  # + one FFN phase (row-looped internally)
+
+
+class EncStackParams(NamedTuple):
+    """Stacked per-layer TEXT-path weights [L, ...] (streams stay in XLA)."""
+
+    w_qkv: jax.Array      # [L, d, 3d] self-attn fused qkv
+    b_qkv: jax.Array      # [L, 1, 3d] f32
+    w_so: jax.Array       # [L, d, d]
+    b_so: jax.Array       # [L, 1, d] f32
+    ln_s: jax.Array       # [L, 2, d] f32 (self_attn_layer_norm)
+    w_cq: jax.Array       # [L, d, d] cross q
+    b_cq: jax.Array       # [L, 1, d] f32
+    w_co: jax.Array       # [L, d, d] cross out
+    b_co: jax.Array       # [L, 1, d] f32
+    ln_c: jax.Array       # [L, 2, d] f32 (img_ner_attn_layer_norm)
+    w_fc1: jax.Array      # [L, d, F]
+    b_fc1: jax.Array      # [L, 1, F] f32
+    w_fc2: jax.Array      # [L, F, d]
+    b_fc2: jax.Array      # [L, 1, d] f32
+    ln_f: jax.Array       # [L, 2, d] f32 (final_layer_norm)
+
+
+def _kernel(
+    x0_ref,        # [B*S, d] bf16 — embedded + LN'd tokens
+    w_qkv_ref, b_qkv_ref, w_so_ref, b_so_ref, ln_s_ref,
+    w_cq_ref, b_cq_ref, w_co_ref, b_co_ref, ln_c_ref,
+    w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref, ln_f_ref,
+    ck_ref,        # [1, BC, KV, d] bf16 — per-layer cross K (projected, +bias)
+    cv_ref,        # [1, BC, KV, d] bf16
+    sbias_ref,     # [BC, S] f32 — self-attn pad bias rows for this chunk
+    cbias_ref,     # [BC, KV] f32 — cross bias rows (all-zero in released cfg)
+    x_out_ref,     # [B*S, d] bf16
+    x_s,           # [B*S, d] bf16 scratch — resident activations
+    *,
+    plan: EncPlan,
+    n_layers: int,
+    batch: int,
+    seq: int,
+    heads: int,
+    hd: int,
+    act_name: str,
+    mm_dtype=jnp.bfloat16,
+):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    ns = plan.n_self
+    bs, d = x_s.shape
+    bc = batch // ns          # batch items per attention chunk
+    rows_per = bc * seq
+    kv_len = ck_ref.shape[2]
+    scaling = hd**-0.5
+
+    if act_name == "gelu":
+        def _erf(v):
+            s = jnp.sign(v)
+            a = jnp.abs(v)
+            t = 1.0 / (1.0 + 0.3275911 * a)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            return s * (1.0 - poly * jnp.exp(-a * a))
+
+        act = lambda v: 0.5 * v * (1.0 + _erf(v * 0.7071067811865476))
+    else:
+        act = ACT2FN[act_name]
+
+    def ln(ref, v):
+        g, b = ref[0, 0, :], ref[0, 1, :]
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(v - mu), axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + 1e-5) * g[None, :] + b[None, :]
+
+    @pl.when((l == 0) & (p == 0))
+    def _load_x():
+        x_s[:] = x0_ref[:]
+
+    # ------------- attention phase: one batch chunk, self + cross -----------
+    @pl.when(p < ns)
+    def _attn():
+        rows = pl.ds(p * rows_per, rows_per)
+        x_in = x_s[rows, :].astype(jnp.float32)
+        qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
+                       preferred_element_type=jnp.float32)
+               + b_qkv_ref[0, 0][None, :]).astype(mm_dtype)
+        sb = sbias_ref[...][:, None, :]  # [BC, 1, S]
+        outs = []
+        for h in range(heads):
+            q_h = (qkv[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
+            k_h = qkv[:, d + h * hd:d + (h + 1) * hd].reshape(bc, seq, hd)
+            v_h = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd].reshape(bc, seq, hd)
+            s_h = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) + sb  # [BC, S, S]
+            p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
+            outs.append(jax.lax.dot_general(
+                p_h, v_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(mm_dtype))  # [BC, S, hd]
+        o = jnp.concatenate(outs, axis=-1).reshape(rows_per, d)  # merge ok
+        o = (jnp.dot(o, w_so_ref[0].astype(mm_dtype),
+                     preferred_element_type=jnp.float32) + b_so_ref[0, 0][None, :])
+        x1 = ln(ln_s_ref, x_in + o)
+
+        # cross-attention to the per-layer multimodal KV (tiny, precomputed)
+        q2 = (jnp.dot(x1.astype(mm_dtype), w_cq_ref[0].astype(mm_dtype),
+                      preferred_element_type=jnp.float32)
+              + b_cq_ref[0, 0][None, :]).astype(mm_dtype)
+        cb = cbias_ref[...][:, None, :]  # [BC, 1, KV]
+        outs2 = []
+        for h in range(heads):
+            q_h = (q2[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
+            k_h = ck_ref[0, :, :, h * hd:(h + 1) * hd].astype(mm_dtype)  # [BC, KV, hd]
+            s_h = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) + cb  # [BC, S, KV]
+            p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
+            outs2.append(jax.lax.dot_general(
+                p_h, cv_ref[0, :, :, h * hd:(h + 1) * hd].astype(mm_dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(mm_dtype))
+        o2 = jnp.concatenate(outs2, axis=-1).reshape(rows_per, d)
+        o2 = (jnp.dot(o2, w_co_ref[0].astype(mm_dtype),
+                      preferred_element_type=jnp.float32) + b_co_ref[0, 0][None, :])
+        x_s[rows, :] = ln(ln_c_ref, x1 + o2).astype(x_s.dtype)
+
+    # ------------- FFN phase: row-looped with fc1/fc2 resident --------------
+    @pl.when(p == ns)
+    def _ffn():
+        w1 = w_fc1_ref[0].astype(mm_dtype)
+        w2 = w_fc2_ref[0].astype(mm_dtype)
+        for rc in range(ns):
+            rows = pl.ds(rc * rows_per, rows_per)
+            x_in = x_s[rows, :].astype(jnp.float32)
+            h = act(jnp.dot(x_in.astype(mm_dtype), w1,
+                            preferred_element_type=jnp.float32)
+                    + b_fc1_ref[0, 0][None, :]).astype(mm_dtype)
+            delta = (jnp.dot(h, w2, preferred_element_type=jnp.float32)
+                     + b_fc2_ref[0, 0][None, :])
+            x_s[rows, :] = ln(ln_f_ref, x_in + delta).astype(x_s.dtype)
+
+        @pl.when(l == n_layers - 1)
+        def _emit():
+            x_out_ref[:] = x_s[:]
+
+
+def encoder_text_stack(
+    sp: EncStackParams,
+    x0: jax.Array,       # [B, S, d] — embedded + embed-LN'd tokens (any float dtype)
+    cross_k: jax.Array,  # [L, B, KV, d] — per-layer projected cross keys (+bias)
+    cross_v: jax.Array,  # [L, B, KV, d]
+    self_bias: jax.Array,   # [B, S] f32 additive pad bias
+    cross_bias: jax.Array,  # [B, KV] f32 additive bias
+    cfg: BartConfig,
+    plan: EncPlan = EncPlan(),
+    interpret: bool = False,
+) -> jax.Array:
+    """→ last_hidden [B, S, d] (kernel-internal bf16; cast to x0.dtype)."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    L = sp.w_qkv.shape[0]
+    B, S, d = x0.shape
+    KV = cross_k.shape[2]
+    H = cfg.encoder_attention_heads
+    hd = d // H
+    if B % plan.n_self:
+        n = next(n for n in range(min(plan.n_self, B), 0, -1) if B % n == 0)
+        plan = plan._replace(n_self=n)
+    ns = plan.n_self
+    bc = B // ns
+    mm_dtype = jnp.float32 if interpret else jnp.bfloat16
+    in_dtype = jnp.float32 if interpret else jnp.bfloat16
+
+    def c(*idx):
+        return lambda l, p: (l, *idx)
+
+    def chunk(l, p):
+        return jnp.clip(p, 0, ns - 1)
+
+    grid = (L, plan.phases)
+    specs = [
+        pl.BlockSpec((B * S, d), lambda l, p: (0, 0)),                 # x0
+        pl.BlockSpec((1, d, 3 * d), c(0, 0)),
+        pl.BlockSpec((1, 1, 3 * d), c(0, 0)),
+        pl.BlockSpec((1, d, d), c(0, 0)),
+        pl.BlockSpec((1, 1, d), c(0, 0)),
+        pl.BlockSpec((1, 2, d), c(0, 0)),
+        pl.BlockSpec((1, d, d), c(0, 0)),
+        pl.BlockSpec((1, 1, d), c(0, 0)),
+        pl.BlockSpec((1, d, d), c(0, 0)),
+        pl.BlockSpec((1, 1, d), c(0, 0)),
+        pl.BlockSpec((1, 2, d), c(0, 0)),
+        pl.BlockSpec((1, d, sp.w_fc1.shape[2]), c(0, 0)),
+        pl.BlockSpec((1, 1, sp.w_fc1.shape[2]), c(0, 0)),
+        pl.BlockSpec((1, sp.w_fc1.shape[2], d), c(0, 0)),
+        pl.BlockSpec((1, 1, d), c(0, 0)),
+        pl.BlockSpec((1, 2, d), c(0, 0)),
+        pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, chunk(l, p), 0, 0)),  # ck
+        pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, chunk(l, p), 0, 0)),  # cv
+        pl.BlockSpec((bc, S), lambda l, p: (chunk(l, p), 0)),               # sbias
+        pl.BlockSpec((bc, KV), lambda l, p: (chunk(l, p), 0)),              # cbias
+    ]
+    out_specs = pl.BlockSpec((B * S, d), lambda l, p: (0, 0))
+    kernel = functools.partial(
+        _kernel, plan=plan, n_layers=L, batch=B, seq=S, heads=H, hd=hd,
+        act_name=cfg.activation_function, mm_dtype=mm_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((B * S, d), in_dtype),
+        scratch_shapes=[pltpu.VMEM((B * S, d), in_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=plan.vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x0.reshape(B * S, d).astype(in_dtype),
+        sp.w_qkv, sp.b_qkv, sp.w_so, sp.b_so, sp.ln_s,
+        sp.w_cq, sp.b_cq, sp.w_co, sp.b_co, sp.ln_c,
+        sp.w_fc1, sp.b_fc1, sp.w_fc2, sp.b_fc2, sp.ln_f,
+        cross_k.astype(in_dtype), cross_v.astype(in_dtype),
+        self_bias.astype(jnp.float32), cross_bias.astype(jnp.float32),
+    )
+    return out.reshape(B, S, d).astype(x0.dtype)

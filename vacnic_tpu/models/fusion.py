@@ -393,6 +393,145 @@ def mm_encoder_fwd(
     }
 
 
+def fused_encoder_eligible(fcfg: FusionConfig, cfg: BartConfig,
+                           add_ner_ffn: bool, dropout_rng) -> bool:
+    """The fused Pallas encoder handles the released configurations: every
+    layer fused, deterministic (no dropout), and a precomputable cross KV —
+    add_ner_ffn=True (kv = img+ner_prefix) or only_image (kv = img). The
+    add_ner_ffn=False variant puts x itself in the KV and stays on XLA."""
+    return (
+        dropout_rng is None
+        and set(fcfg.fusion_layers) == set(range(cfg.encoder_layers))
+        and (fcfg.only_image or add_ner_ffn)
+    )
+
+
+def mm_encoder_fwd_fused(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    image_features: jax.Array,
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    *,
+    face_features: jax.Array | None = None,
+    face_mask: jax.Array | None = None,
+    name_ids: jax.Array | None = None,
+    name_mask: jax.Array | None = None,
+    add_ner_ffn: bool = True,
+    dtype=jnp.float32,
+    interpret: bool = False,
+) -> dict[str, jax.Array]:
+    """mm_encoder_fwd with the TEXT path fused into one Pallas kernel
+    (kernels/encoder_stack). The fusion streams evolve independently of the
+    text states, so they (and each layer's projected cross K/V over
+    concat(img, ner_prefix)) are precomputed here in XLA, then the kernel
+    runs all layers' self-attn + cross-attn + FFN with the activations
+    VMEM-resident. Inference-only (no dropout); numerics match
+    mm_encoder_fwd to bf16 tolerance (tests/test_encoder_stack.py)."""
+    from vacnic_tpu.kernels.encoder_stack import (
+        EncPlan,
+        EncStackParams,
+        encoder_text_stack,
+    )
+
+    assert fused_encoder_eligible(fcfg, cfg, add_ner_ffn, None)
+    rngs = RngStream(None)
+    act = ACT2FN[cfg.activation_function]
+    enc = params["encoder"]
+    layers = enc["layers"]
+
+    x = B.embed_and_norm(params["shared"], enc["embed_positions"],
+                         enc["layernorm_embedding"], input_ids, cfg, rngs, dtype)
+
+    # ---- stream loop (mirrors fusion_encoder_layer_fwd's stream section) ---
+    img = map_image_prompt(enc, image_features, cfg, fcfg).astype(dtype)
+    face = ner = None
+    fn_mask_bias = None
+    if not fcfg.only_image:
+        ner = embed_ner_stream(enc, name_ids, cfg, rngs, dtype)
+        face = linear(enc["face_proj"], face_features.astype(dtype))
+        fn_mask = jnp.concatenate([face_mask, name_mask], axis=1)
+        fn_mask_bias = expand_mask(fn_mask, fcfg.max_ner_type_len, dtype)
+
+    kv_per_layer = []
+    for p in layers:
+        img = _residual_ffn(p["img_up"], p["img_down"], p["img_layer_norm"],
+                            img, act, cfg, rngs)
+        if not fcfg.only_image:
+            face = _residual_ffn(p["face_up"], p["face_down"], p["face_layer_norm"],
+                                 face, act, cfg, rngs)
+            residual = ner
+            fn_kv = jnp.concatenate([face, ner], axis=1)
+            h, _ = mha(p["self_attn_img_name"], ner, key_value=fn_kv,
+                       mask=fn_mask_bias, num_heads=cfg.encoder_attention_heads)
+            ner = layernorm(p["img_name_attn_layer_norm"], residual + h)
+
+            bsz, ner_len, d = ner.shape
+            t = ner.reshape(bsz, d, ner_len)
+            t = act(linear(p["ner_map_up"], t))
+            t = linear(p["ner_map_down"], t)
+            ner_prefix = t.reshape(bsz, fcfg.max_ner_type_len_gt, d)
+            ner_prefix = layernorm(p["ner_map_layer_norm"], ner_prefix)
+            kv = jnp.concatenate([img, ner_prefix], axis=1)
+        else:
+            kv = img
+        # project through this layer's cross k/v (biases folded in) so the
+        # kernel consumes ready K/V, like the decode path's cross cache
+        ca = p["cross_attn_img_ner"]
+        kv_per_layer.append((linear(ca["k_proj"], kv), linear(ca["v_proj"], kv)))
+
+    cross_k = jnp.stack([k for k, _ in kv_per_layer])  # [L, B, KV, d]
+    cross_v = jnp.stack([v for _, v in kv_per_layer])
+
+    # ---- stacked text-path weights ----------------------------------------
+    wd = jnp.bfloat16 if jax.default_backend() != "cpu" and not interpret else jnp.float32
+
+    def st(*path):
+        def leaf(p):
+            o = p
+            for k in path:
+                o = o[k]
+            return o
+
+        return jnp.stack([leaf(p) for p in layers])
+
+    def ln2(name):
+        return jnp.stack([jnp.stack([p[name]["scale"], p[name]["bias"]])
+                          for p in layers]).astype(jnp.float32)
+
+    sp = EncStackParams(
+        w_qkv=jnp.concatenate([st("self_attn", "q_proj", "kernel"),
+                               st("self_attn", "k_proj", "kernel"),
+                               st("self_attn", "v_proj", "kernel")], axis=-1).astype(wd),
+        b_qkv=jnp.concatenate([st("self_attn", "q_proj", "bias"),
+                               st("self_attn", "k_proj", "bias"),
+                               st("self_attn", "v_proj", "bias")], axis=-1)[:, None, :]
+        .astype(jnp.float32),
+        w_so=st("self_attn", "out_proj", "kernel").astype(wd),
+        b_so=st("self_attn", "out_proj", "bias")[:, None, :].astype(jnp.float32),
+        ln_s=ln2("self_attn_layer_norm"),
+        w_cq=st("cross_attn_img_ner", "q_proj", "kernel").astype(wd),
+        b_cq=st("cross_attn_img_ner", "q_proj", "bias")[:, None, :].astype(jnp.float32),
+        w_co=st("cross_attn_img_ner", "out_proj", "kernel").astype(wd),
+        b_co=st("cross_attn_img_ner", "out_proj", "bias")[:, None, :].astype(jnp.float32),
+        ln_c=ln2("img_ner_attn_layer_norm"),
+        w_fc1=st("fc1", "kernel").astype(wd),
+        b_fc1=st("fc1", "bias")[:, None, :].astype(jnp.float32),
+        w_fc2=st("fc2", "kernel").astype(wd),
+        b_fc2=st("fc2", "bias")[:, None, :].astype(jnp.float32),
+        ln_f=ln2("final_layer_norm"),
+    )
+
+    neg = jnp.finfo(jnp.float32).min
+    self_bias = (1.0 - attention_mask.astype(jnp.float32)) * neg  # [B, S]
+    cross_bias = jnp.zeros((input_ids.shape[0], cross_k.shape[2]), jnp.float32)
+
+    last = encoder_text_stack(sp, x, cross_k, cross_v, self_bias, cross_bias,
+                              cfg, plan=EncPlan(), interpret=interpret)
+    return {"last_hidden": last, "img": img, "ner": ner, "face": face}
+
+
 # ---------------------------------------------------------------------------
 # Full model forward
 # ---------------------------------------------------------------------------

@@ -81,8 +81,8 @@ def _kernel(
     w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref, ln_f_ref,
     ck_ref,        # [1, BC, KV, d] bf16 — per-layer cross K (projected, +bias)
     cv_ref,        # [1, BC, KV, d] bf16
-    sbias_ref,     # [BC, S] f32 — self-attn pad bias rows for this chunk
-    cbias_ref,     # [BC, KV] f32 — cross bias rows (all-zero in released cfg)
+    sbias_ref,     # [1, BC, S] f32 — self-attn pad bias rows for this chunk
+    cbias_ref,     # [1, BC, KV] f32 — cross bias rows (all-zero in released cfg)
     x_out_ref,     # [B*S, d] bf16
     x_s,           # [B*S, d] bf16 scratch — resident activations
     *,
@@ -135,7 +135,7 @@ def _kernel(
         qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
                        preferred_element_type=jnp.float32)
                + b_qkv_ref[0, 0][None, :]).astype(mm_dtype)
-        sb = sbias_ref[...][:, None, :]  # [BC, 1, S]
+        sb = sbias_ref[0][:, None, :]  # [BC, 1, S]
         outs = []
         for h in range(heads):
             q_h = (qkv[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
@@ -157,7 +157,7 @@ def _kernel(
         q2 = (jnp.dot(x1.astype(mm_dtype), w_cq_ref[0].astype(mm_dtype),
                       preferred_element_type=jnp.float32)
               + b_cq_ref[0, 0][None, :]).astype(mm_dtype)
-        cb = cbias_ref[...][:, None, :]  # [BC, 1, KV]
+        cb = cbias_ref[0][:, None, :]  # [BC, 1, KV]
         outs2 = []
         for h in range(heads):
             q_h = (q2[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
@@ -247,8 +247,11 @@ def encoder_text_stack(
         pl.BlockSpec((1, 2, d), c(0, 0)),
         pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, chunk(l, p), 0, 0)),  # ck
         pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, chunk(l, p), 0, 0)),  # cv
-        pl.BlockSpec((bc, S), lambda l, p: (chunk(l, p), 0)),               # sbias
-        pl.BlockSpec((bc, KV), lambda l, p: (chunk(l, p), 0)),              # cbias
+        # chunk-outer layout: a (bc, S) block of a [B, S] array would have a
+        # non-8-aligned sublane dim (bc=4); [ns, bc, S] blocks are full in
+        # their last two dims, which Mosaic accepts
+        pl.BlockSpec((1, bc, S), lambda l, p: (chunk(l, p), 0, 0)),         # sbias
+        pl.BlockSpec((1, bc, KV), lambda l, p: (chunk(l, p), 0, 0)),        # cbias
     ]
     out_specs = pl.BlockSpec((B * S, d), lambda l, p: (0, 0))
     kernel = functools.partial(
@@ -270,6 +273,7 @@ def encoder_text_stack(
         sp.w_cq, sp.b_cq, sp.w_co, sp.b_co, sp.ln_c,
         sp.w_fc1, sp.b_fc1, sp.w_fc2, sp.b_fc2, sp.ln_f,
         cross_k.astype(in_dtype), cross_v.astype(in_dtype),
-        self_bias.astype(jnp.float32), cross_bias.astype(jnp.float32),
+        self_bias.astype(jnp.float32).reshape(ns, bc, S),
+        cross_bias.astype(jnp.float32).reshape(ns, bc, KV),
     )
     return out.reshape(B, S, d).astype(x0.dtype)

@@ -7,23 +7,31 @@ vanilla transformer path (text-only = 85.0 ms) — ~10 inter-op HBM round
 trips per layer for scores/probs/FFN intermediates/LN islands. Flash
 attention alone LOSES to XLA here (130.0 ms measured), so the win has to
 come from keeping the whole [B, S, d] activation VMEM-RESIDENT across all
-layers and phases, which this kernel does (33.5 MB at batch 32 — the
-decode kernel's carried-scratch pattern, scaled up).
+layers and phases (33.5 MB at batch 32 — the decode kernel's carried-scratch
+pattern, scaled up). x streams in per-chunk at layer 0 and out per-chunk at
+the last layer; everything between lives in the scratch.
 
 Key structural fact that makes this possible: the fusion streams
 (img/face/ner) evolve INDEPENDENTLY of the text states (models/fusion.py
 fusion_encoder_layer_fwd computes them only from each other), so the caller
 precomputes, per layer, the cross-attention K/V over the multimodal prompt
 (kv_l = concat(img_l, ner_prefix_l), already projected through the layer's
-cross k/v weights) and the kernel consumes them like the decode kernel's
-beam-invariant cross K/V. Supported configs: add_ner_ffn=True (released
-run_full_train.sh config) and only_image — the add_ner_ffn=False variant
-puts x itself in the KV and stays on the XLA path.
+cross k/v weights, K pre-transposed to the lane-aligned [d, KV] layout) and
+the kernel consumes them like the decode kernel's beam-invariant cross K/V.
+Supported configs: add_ner_ffn=True (released run_full_train.sh config) and
+only_image — the add_ner_ffn=False variant puts x itself in the KV and
+stays on the XLA path.
 
-Grid = (layer, phases): NS batch-chunk phases each doing
-self-attention (per-head full-S scores — S=512 fits VMEM per chunk, no
-online softmax needed) + cross-attention (tiny KV) + their layernorms,
-then one FFN phase looping the row chunks with fc1/fc2 resident.
+Grid = (layer, phases): NS batch-chunk attention phases (self-attention with
+per-head full-S scores — S=512 fits VMEM per chunk — then cross-attention to
+the tiny KV, with their layernorms), then NS×NF FFN phases (row chunk ×
+fc column chunk, f32 accumulator scratch).
+
+Mosaic gotchas encoded here: batched matmuls must contract UNTRANSPOSED rhs
+dims (a (((2,), (2,))) contraction — and equally a swapaxes feeding it —
+dies in Mosaic's array indexing with "limits 64 vs 1"), hence keys are
+produced/stored pre-transposed; bias tensors use chunk-outer [NS, bc, ·]
+layouts because a (bc<8, S) block has an unaligned sublane dim.
 
 Numerics: bf16 matmuls with f32 accumulation, f32 layernorms/softmax —
 identical recipe to models/layers.attention_core; parity pinned in
@@ -47,17 +55,21 @@ from vacnic_tpu.models.layers import ACT2FN
 
 class EncPlan(NamedTuple):
     n_self: int = 8    # batch chunks for the attention phases
+    n_ffn: int = 2     # fc1/fc2 column chunks (per row chunk)
     vmem_mb: int = 121
+    # debug bisect switch: comma-set of {"self", "cross", "ffn"} to compile
+    # only some sub-blocks (results are wrong unless all are on)
+    parts: str = "self,cross,ffn"
 
     @property
     def phases(self) -> int:
-        return self.n_self + 1  # + one FFN phase (row-looped internally)
+        return self.n_self + self.n_self * self.n_ffn
 
 
 class EncStackParams(NamedTuple):
     """Stacked per-layer TEXT-path weights [L, ...] (streams stay in XLA)."""
 
-    w_qkv: jax.Array      # [L, d, 3d] self-attn fused qkv
+    w_qkv: jax.Array      # [L, d, 3d] self-attn fused q|k|v
     b_qkv: jax.Array      # [L, 1, 3d] f32
     w_so: jax.Array       # [L, d, d]
     b_so: jax.Array       # [L, 1, d] f32
@@ -75,16 +87,20 @@ class EncStackParams(NamedTuple):
 
 
 def _kernel(
-    x0_ref,        # [B*S, d] bf16 — embedded + LN'd tokens
+    x0_ref,        # [RPC, d] — chunk of the embedded tokens (read at layer 0)
     w_qkv_ref, b_qkv_ref, w_so_ref, b_so_ref, ln_s_ref,
     w_cq_ref, b_cq_ref, w_co_ref, b_co_ref, ln_c_ref,
-    w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref, ln_f_ref,
-    ck_ref,        # [1, BC, KV, d] bf16 — per-layer cross K (projected, +bias)
+    w_fc1_ref,     # [1, d, FC] column chunk
+    b_fc1_ref,     # [1, 1, FC]
+    w_fc2_ref,     # [1, FC, d]
+    b_fc2_ref, ln_f_ref,
+    ck_ref,        # [1, BC, d, KV] bf16 — per-layer cross K, PRE-TRANSPOSED
     cv_ref,        # [1, BC, KV, d] bf16
     sbias_ref,     # [1, BC, S] f32 — self-attn pad bias rows for this chunk
-    cbias_ref,     # [1, BC, KV] f32 — cross bias rows (all-zero in released cfg)
-    x_out_ref,     # [B*S, d] bf16
-    x_s,           # [B*S, d] bf16 scratch — resident activations
+    cbias_ref,     # [1, BC, KV] f32 — cross bias rows (all-zero released cfg)
+    x_out_ref,     # [RPC, d] — chunk of the output (written at last layer)
+    x_s,           # [B*S, d] scratch — resident activations
+    acc_s,         # [RPC, d] f32 scratch — FFN column accumulator
     *,
     plan: EncPlan,
     n_layers: int,
@@ -98,10 +114,10 @@ def _kernel(
     l = pl.program_id(0)
     p = pl.program_id(1)
     ns = plan.n_self
+    nf = plan.n_ffn
     bs, d = x_s.shape
     bc = batch // ns          # batch items per attention chunk
     rows_per = bc * seq
-    kv_len = ck_ref.shape[2]
     scaling = hd**-0.5
 
     if act_name == "gelu":
@@ -123,82 +139,109 @@ def _kernel(
         var = jnp.mean(jnp.square(v - mu), axis=-1, keepdims=True)
         return (v - mu) * jax.lax.rsqrt(var + 1e-5) * g[None, :] + b[None, :]
 
-    @pl.when((l == 0) & (p == 0))
-    def _load_x():
-        x_s[:] = x0_ref[:]
+    do_self = "self" in plan.parts
+    do_cross = "cross" in plan.parts
+    do_ffn = "ffn" in plan.parts
 
     # ------------- attention phase: one batch chunk, self + cross -----------
     @pl.when(p < ns)
     def _attn():
         rows = pl.ds(p * rows_per, rows_per)
+
+        @pl.when(l == 0)
+        def _load():
+            x_s[rows, :] = x0_ref[...].astype(x_s.dtype)
+
         x_in = x_s[rows, :].astype(jnp.float32)
-        qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
-                       preferred_element_type=jnp.float32)
-               + b_qkv_ref[0, 0][None, :]).astype(mm_dtype)
-        sb = sbias_ref[0][:, None, :]  # [BC, 1, S]
-        outs = []
-        for h in range(heads):
-            q_h = (qkv[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
-            k_h = qkv[:, d + h * hd:d + (h + 1) * hd].reshape(bc, seq, hd)
-            v_h = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd].reshape(bc, seq, hd)
-            s_h = jax.lax.dot_general(
-                q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) + sb  # [BC, S, S]
-            p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
-            outs.append(jax.lax.dot_general(
-                p_h, v_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(mm_dtype))  # [BC, S, hd]
-        o = jnp.concatenate(outs, axis=-1).reshape(rows_per, d)  # merge ok
-        o = (jnp.dot(o, w_so_ref[0].astype(mm_dtype),
-                     preferred_element_type=jnp.float32) + b_so_ref[0, 0][None, :])
-        x1 = ln(ln_s_ref, x_in + o)
+        x1 = x_in
+        if do_self:
+            qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
+                           preferred_element_type=jnp.float32)
+                   + b_qkv_ref[0, 0][None, :]).astype(mm_dtype)
+            sb = sbias_ref[0][:, None, :]  # [BC, 1, S]
+            outs = []
+            for h in range(heads):
+                q_h = (qkv[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
+                # keys pre-swapped to [BC, hd, S]: Mosaic dies lowering a
+                # transposed-rhs batched contraction at these shapes
+                k_h = jnp.swapaxes(
+                    qkv[:, d + h * hd:d + (h + 1) * hd].reshape(bc, seq, hd), 1, 2)
+                v_h = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd].reshape(bc, seq, hd)
+                s_h = jax.lax.dot_general(
+                    q_h, k_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) + sb  # [BC, S, S]
+                p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
+                outs.append(jax.lax.dot_general(
+                    p_h, v_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32).astype(mm_dtype))
+            o = jnp.concatenate(outs, axis=-1).reshape(rows_per, d)  # merge ok
+            o = (jnp.dot(o, w_so_ref[0].astype(mm_dtype),
+                         preferred_element_type=jnp.float32) + b_so_ref[0, 0][None, :])
+            x1 = ln(ln_s_ref, x_in + o)
 
-        # cross-attention to the per-layer multimodal KV (tiny, precomputed)
-        q2 = (jnp.dot(x1.astype(mm_dtype), w_cq_ref[0].astype(mm_dtype),
-                      preferred_element_type=jnp.float32)
-              + b_cq_ref[0, 0][None, :]).astype(mm_dtype)
-        cb = cbias_ref[0][:, None, :]  # [BC, 1, KV]
-        outs2 = []
-        for h in range(heads):
-            q_h = (q2[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
-            k_h = ck_ref[0, :, :, h * hd:(h + 1) * hd].astype(mm_dtype)  # [BC, KV, hd]
-            s_h = jax.lax.dot_general(
-                q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) + cb  # [BC, S, KV]
-            p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
-            outs2.append(jax.lax.dot_general(
-                p_h, cv_ref[0, :, :, h * hd:(h + 1) * hd].astype(mm_dtype),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(mm_dtype))
-        o2 = jnp.concatenate(outs2, axis=-1).reshape(rows_per, d)
-        o2 = (jnp.dot(o2, w_co_ref[0].astype(mm_dtype),
-                      preferred_element_type=jnp.float32) + b_co_ref[0, 0][None, :])
-        x_s[rows, :] = ln(ln_c_ref, x1 + o2).astype(x_s.dtype)
+        x2 = x1
+        if do_cross:
+            # cross-attention to the per-layer multimodal KV (precomputed)
+            q2 = (jnp.dot(x1.astype(mm_dtype), w_cq_ref[0].astype(mm_dtype),
+                          preferred_element_type=jnp.float32)
+                  + b_cq_ref[0, 0][None, :]).astype(mm_dtype)
+            cb = cbias_ref[0][:, None, :]  # [BC, 1, KV]
+            outs2 = []
+            for h in range(heads):
+                q_h = (q2[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
+                k_h = ck_ref[0, :, h * hd:(h + 1) * hd, :].astype(mm_dtype)  # [BC, hd, KV]
+                s_h = jax.lax.dot_general(
+                    q_h, k_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) + cb  # [BC, S, KV]
+                p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
+                outs2.append(jax.lax.dot_general(
+                    p_h, cv_ref[0, :, :, h * hd:(h + 1) * hd].astype(mm_dtype),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32).astype(mm_dtype))
+            o2 = jnp.concatenate(outs2, axis=-1).reshape(rows_per, d)
+            o2 = (jnp.dot(o2, w_co_ref[0].astype(mm_dtype),
+                          preferred_element_type=jnp.float32) + b_co_ref[0, 0][None, :])
+            x2 = ln(ln_c_ref, x1 + o2)
+        x_s[rows, :] = x2.astype(x_s.dtype)
 
-    # ------------- FFN phase: row-looped with fc1/fc2 resident --------------
-    @pl.when(p == ns)
+    # ------------- FFN phases: (row chunk) × (fc column chunk) --------------
+    @pl.when(p >= ns)
     def _ffn():
-        w1 = w_fc1_ref[0].astype(mm_dtype)
-        w2 = w_fc2_ref[0].astype(mm_dtype)
-        for rc in range(ns):
-            rows = pl.ds(rc * rows_per, rows_per)
+        rc = (p - ns) // nf
+        fcw = (p - ns) % nf
+        rows = pl.ds(rc * rows_per, rows_per)
+        if do_ffn:
             x_in = x_s[rows, :].astype(jnp.float32)
-            h = act(jnp.dot(x_in.astype(mm_dtype), w1,
+            h = act(jnp.dot(x_in.astype(mm_dtype), w_fc1_ref[0].astype(mm_dtype),
                             preferred_element_type=jnp.float32)
                     + b_fc1_ref[0, 0][None, :]).astype(mm_dtype)
-            delta = (jnp.dot(h, w2, preferred_element_type=jnp.float32)
-                     + b_fc2_ref[0, 0][None, :])
-            x_s[rows, :] = ln(ln_f_ref, x_in + delta).astype(x_s.dtype)
+            delta = jnp.dot(h, w_fc2_ref[0].astype(mm_dtype),
+                            preferred_element_type=jnp.float32)
 
-        @pl.when(l == n_layers - 1)
+            @pl.when(fcw == 0)
+            def _init():
+                acc_s[...] = delta
+
+            @pl.when(fcw > 0)
+            def _acc():
+                acc_s[...] = acc_s[...] + delta
+
+            @pl.when(fcw == nf - 1)
+            def _fin():
+                x_s[rows, :] = ln(
+                    ln_f_ref, x_in + acc_s[...] + b_fc2_ref[0, 0][None, :]
+                ).astype(x_s.dtype)
+
+        @pl.when((l == n_layers - 1) & (fcw == nf - 1))
         def _emit():
-            x_out_ref[:] = x_s[:]
+            x_out_ref[...] = x_s[rows, :].astype(x_out_ref.dtype)
 
 
 def encoder_text_stack(
     sp: EncStackParams,
-    x0: jax.Array,       # [B, S, d] — embedded + embed-LN'd tokens (any float dtype)
-    cross_k: jax.Array,  # [L, B, KV, d] — per-layer projected cross keys (+bias)
+    x0: jax.Array,       # [B, S, d] — embedded + embed-LN'd tokens
+    cross_k: jax.Array,  # [L, B, d, KV] — per-layer projected cross keys,
+                         # PRE-TRANSPOSED (lane-aligned contraction layout)
     cross_v: jax.Array,  # [L, B, KV, d]
     self_bias: jax.Array,   # [B, S] f32 additive pad bias
     cross_bias: jax.Array,  # [B, KV] f32 additive bias
@@ -210,26 +253,40 @@ def encoder_text_stack(
     interpret = interpret or jax.default_backend() == "cpu"
     L = sp.w_qkv.shape[0]
     B, S, d = x0.shape
-    KV = cross_k.shape[2]
+    KV = cross_v.shape[2]
     H = cfg.encoder_attention_heads
     hd = d // H
+    F = sp.w_fc1.shape[2]
     if B % plan.n_self:
         n = next(n for n in range(min(plan.n_self, B), 0, -1) if B % n == 0)
         plan = plan._replace(n_self=n)
-    ns = plan.n_self
+    if F % plan.n_ffn:
+        plan = plan._replace(n_ffn=1)
+    ns, nf = plan.n_self, plan.n_ffn
     bc = B // ns
+    fc = F // nf
+    rpc = bc * S
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     in_dtype = jnp.float32 if interpret else jnp.bfloat16
 
     def c(*idx):
         return lambda l, p: (l, *idx)
 
-    def chunk(l, p):
+    def a_chunk(l, p):
+        # attention-phase chunk; during FFN phases hold the last index
         return jnp.clip(p, 0, ns - 1)
+
+    def f_row(l, p):
+        return jnp.clip((p - ns) // nf, 0, ns - 1)
+
+    def f_col(l, p):
+        return jnp.where(p >= ns, (p - ns) % nf, 0)
 
     grid = (L, plan.phases)
     specs = [
-        pl.BlockSpec((B * S, d), lambda l, p: (0, 0)),                 # x0
+        # x0 chunk: walked during layer-0 attention phases, parked after
+        pl.BlockSpec((rpc, d),
+                     lambda l, p: (jnp.where(l == 0, a_chunk(l, p), ns - 1), 0)),
         pl.BlockSpec((1, d, 3 * d), c(0, 0)),
         pl.BlockSpec((1, 1, 3 * d), c(0, 0)),
         pl.BlockSpec((1, d, d), c(0, 0)),
@@ -240,20 +297,22 @@ def encoder_text_stack(
         pl.BlockSpec((1, d, d), c(0, 0)),
         pl.BlockSpec((1, 1, d), c(0, 0)),
         pl.BlockSpec((1, 2, d), c(0, 0)),
-        pl.BlockSpec((1, d, sp.w_fc1.shape[2]), c(0, 0)),
-        pl.BlockSpec((1, 1, sp.w_fc1.shape[2]), c(0, 0)),
-        pl.BlockSpec((1, sp.w_fc1.shape[2], d), c(0, 0)),
+        pl.BlockSpec((1, d, fc), lambda l, p: (l, 0, f_col(l, p))),
+        pl.BlockSpec((1, 1, fc), lambda l, p: (l, 0, f_col(l, p))),
+        pl.BlockSpec((1, fc, d), lambda l, p: (l, f_col(l, p), 0)),
         pl.BlockSpec((1, 1, d), c(0, 0)),
         pl.BlockSpec((1, 2, d), c(0, 0)),
-        pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, chunk(l, p), 0, 0)),  # ck
-        pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, chunk(l, p), 0, 0)),  # cv
-        # chunk-outer layout: a (bc, S) block of a [B, S] array would have a
-        # non-8-aligned sublane dim (bc=4); [ns, bc, S] blocks are full in
-        # their last two dims, which Mosaic accepts
-        pl.BlockSpec((1, bc, S), lambda l, p: (chunk(l, p), 0, 0)),         # sbias
-        pl.BlockSpec((1, bc, KV), lambda l, p: (chunk(l, p), 0, 0)),        # cbias
+        pl.BlockSpec((1, bc, d, KV), lambda l, p: (l, a_chunk(l, p), 0, 0)),  # ck
+        pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, a_chunk(l, p), 0, 0)),  # cv
+        # chunk-outer bias layouts: a (bc<8, S) block of a [B, S] array would
+        # have an unaligned sublane dim; [ns, bc, S] blocks are full in their
+        # last two dims, which Mosaic accepts
+        pl.BlockSpec((1, bc, S), lambda l, p: (a_chunk(l, p), 0, 0)),         # sbias
+        pl.BlockSpec((1, bc, KV), lambda l, p: (a_chunk(l, p), 0, 0)),        # cbias
     ]
-    out_specs = pl.BlockSpec((B * S, d), lambda l, p: (0, 0))
+    out_specs = pl.BlockSpec(
+        (rpc, d),
+        lambda l, p: (jnp.where(l == L - 1, f_row(l, p), 0), 0))
     kernel = functools.partial(
         _kernel, plan=plan, n_layers=L, batch=B, seq=S, heads=H, hd=hd,
         act_name=cfg.activation_function, mm_dtype=mm_dtype)
@@ -263,7 +322,10 @@ def encoder_text_stack(
         in_specs=specs,
         out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((B * S, d), in_dtype),
-        scratch_shapes=[pltpu.VMEM((B * S, d), in_dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((B * S, d), in_dtype),
+            pltpu.VMEM((rpc, d), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=plan.vmem_mb * 1024 * 1024),
         interpret=interpret,

@@ -481,7 +481,9 @@ def mm_encoder_fwd_fused(
         ca = p["cross_attn_img_ner"]
         kv_per_layer.append((linear(ca["k_proj"], kv), linear(ca["v_proj"], kv)))
 
-    cross_k = jnp.stack([k for k, _ in kv_per_layer])  # [L, B, KV, d]
+    # K pre-transposed to [L, B, d, KV] — the kernel's lane-aligned
+    # contraction layout (matches the decode path's cross-cache convention)
+    cross_k = jnp.stack([k for k, _ in kv_per_layer]).transpose(0, 1, 3, 2)
     cross_v = jnp.stack([v for _, v in kv_per_layer])
 
     # ---- stacked text-path weights ----------------------------------------
@@ -525,7 +527,7 @@ def mm_encoder_fwd_fused(
 
     neg = jnp.finfo(jnp.float32).min
     self_bias = (1.0 - attention_mask.astype(jnp.float32)) * neg  # [B, S]
-    cross_bias = jnp.zeros((input_ids.shape[0], cross_k.shape[2]), jnp.float32)
+    cross_bias = jnp.zeros((input_ids.shape[0], cross_v.shape[2]), jnp.float32)
 
     last = encoder_text_stack(sp, x, cross_k, cross_v, self_bias, cross_bias,
                               cfg, plan=EncPlan(), interpret=interpret)

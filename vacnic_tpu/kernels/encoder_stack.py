@@ -57,7 +57,8 @@ from vacnic_tpu.models.layers import ACT2FN
 
 
 class EncPlan(NamedTuple):
-    n_self: int = 8    # batch chunks for the attention phases
+    n_self: int = 16   # batch chunks for the attention phases (bc=2 at batch
+                       # 32: n_self=8 exceeded VMEM capacity by 9.3M)
     n_ffn: int = 2     # fc1/fc2 column chunks (per row chunk)
     vmem_mb: int = 121
     # debug bisect switch: comma-set of {"self", "cross", "ffn"} to compile

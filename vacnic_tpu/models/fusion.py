@@ -393,6 +393,21 @@ def mm_encoder_fwd(
     }
 
 
+def _enc_plan_from_env():
+    """EncPlan with on-chip sweep overrides (ENC_NSELF / ENC_NFFN /
+    ENC_VMEM), defaulting to the measured-best configuration."""
+    import os as _os
+
+    from vacnic_tpu.kernels.encoder_stack import EncPlan
+
+    base = EncPlan()
+    return base._replace(
+        n_self=int(_os.environ.get("ENC_NSELF", base.n_self)),
+        n_ffn=int(_os.environ.get("ENC_NFFN", base.n_ffn)),
+        vmem_mb=int(_os.environ.get("ENC_VMEM", base.vmem_mb)),
+    )
+
+
 def fused_encoder_eligible(fcfg: FusionConfig, cfg: BartConfig,
                            add_ner_ffn: bool, dropout_rng) -> bool:
     """The fused Pallas encoder handles the released configurations: every
@@ -530,7 +545,7 @@ def mm_encoder_fwd_fused(
     cross_bias = jnp.zeros((input_ids.shape[0], cross_v.shape[2]), jnp.float32)
 
     last = encoder_text_stack(sp, x, cross_k, cross_v, self_bias, cross_bias,
-                              cfg, plan=EncPlan(), interpret=interpret)
+                              cfg, plan=_enc_plan_from_env(), interpret=interpret)
     return {"last_hidden": last, "img": img, "ner": ner, "face": face}
 
 

@@ -59,7 +59,8 @@ from vacnic_tpu.models.layers import ACT2FN
 class EncPlan(NamedTuple):
     n_self: int = 16   # batch chunks for the attention phases (bc=2 at batch
                        # 32: n_self=8 exceeded VMEM capacity by 9.3M)
-    n_ffn: int = 2     # fc1/fc2 column chunks (per row chunk)
+    n_ffn: int = 1     # fc1/fc2 column chunks (full-width blocks measured
+                       # 90.1 ms vs 102.1 at n_ffn=2 — fewer phases win)
     vmem_mb: int = 121
     # debug bisect switch: comma-set of {"self", "cross", "ffn"} to compile
     # only some sub-blocks (results are wrong unless all are on)

@@ -68,3 +68,25 @@ def test_fused_encoder_ineligible_configs():
     # partial fusion layers -> ineligible
     part = dataclasses.replace(cfg.fusion, fusion_layers=(0,))
     assert not F.fused_encoder_eligible(part, cfg.bart, True, None)
+
+
+def test_fused_encoder_batch_slicing(setup):
+    """max_kernel_batch smaller than the batch runs the kernel per slice and
+    concatenates — results must equal the single-call path."""
+    cfg, params, batch = setup
+    src = batch["article_ids"]
+    kwargs = {}
+    if not cfg.fusion.only_image:
+        kwargs = dict(
+            face_features=batch["face_emb"],
+            face_mask=face_mask_from_emb(batch["face_emb"]),
+            name_ids=batch["names_art_ids"],
+            name_mask=create_mask(batch["names_art_ids"]),
+        )
+    one = F.mm_encoder_fwd_fused(params, src, create_mask(src), batch["image_cls"],
+                                 cfg.bart, cfg.fusion, interpret=True, **kwargs)
+    sliced = F.mm_encoder_fwd_fused(params, src, create_mask(src), batch["image_cls"],
+                                    cfg.bart, cfg.fusion, interpret=True,
+                                    max_kernel_batch=2, **kwargs)
+    np.testing.assert_allclose(np.asarray(sliced["last_hidden"]),
+                               np.asarray(one["last_hidden"]), atol=2e-4, rtol=2e-4)

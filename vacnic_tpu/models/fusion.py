@@ -436,6 +436,7 @@ def mm_encoder_fwd_fused(
     add_ner_ffn: bool = True,
     dtype=jnp.float32,
     interpret: bool = False,
+    max_kernel_batch: int = 32,
 ) -> dict[str, jax.Array]:
     """mm_encoder_fwd with the TEXT path fused into one Pallas kernel
     (kernels/encoder_stack). The fusion streams evolve independently of the
@@ -544,8 +545,25 @@ def mm_encoder_fwd_fused(
     self_bias = (1.0 - attention_mask.astype(jnp.float32)) * neg  # [B, S]
     cross_bias = jnp.zeros((input_ids.shape[0], cross_v.shape[2]), jnp.float32)
 
-    last = encoder_text_stack(sp, x, cross_k, cross_v, self_bias, cross_bias,
-                              cfg, plan=_enc_plan_from_env(), interpret=interpret)
+    # the kernel keeps the whole [Bk, S, d] activation VMEM-resident, which
+    # caps the per-call batch (~32 at bart-large: 33.5 MB scratch; batch 128
+    # would need 134 MB) — larger batches run the kernel over slices
+    # (the encoder is batch-parallel)
+    bsz = input_ids.shape[0]
+    mk = max_kernel_batch
+    plan = _enc_plan_from_env()
+    if bsz <= mk:
+        last = encoder_text_stack(sp, x, cross_k, cross_v, self_bias,
+                                  cross_bias, cfg, plan=plan, interpret=interpret)
+    else:
+        n_slices = -(-bsz // mk)
+        outs = []
+        for i in range(n_slices):
+            sl = slice(i * mk, min((i + 1) * mk, bsz))
+            outs.append(encoder_text_stack(
+                sp, x[sl], cross_k[:, sl], cross_v[:, sl], self_bias[sl],
+                cross_bias[sl], cfg, plan=plan, interpret=interpret))
+        last = jnp.concatenate(outs, axis=0)
     return {"last_hidden": last, "img": img, "ner": ner, "face": face}
 
 

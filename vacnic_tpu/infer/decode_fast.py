@@ -57,9 +57,11 @@ class DecodeParams(NamedTuple):
     ln_final: jax.Array  # [L, 2, d]
     # tied LM head with the vocab padded to a 4096 multiple (so the kernel's
     # vocab chunks stay 128-lane aligned for n_lm up to 32); pad bias entries
-    # are -1e9 so a padded id can never win top-k even unsliced
-    w_lm: jax.Array  # [Vp, d]
-    b_lm: jax.Array  # [1, Vp] f32
+    # are -1e9 so a padded id can never win top-k even unsliced. None unless
+    # the in-kernel LM head is selected (plan.n_lm > 0): the padded duplicate
+    # of the tied embedding is ~104 MB bf16 of otherwise-dead HBM.
+    w_lm: jax.Array | None  # [Vp, d]
+    b_lm: jax.Array | None  # [1, Vp] f32
 
 
 class DecodeCache(NamedTuple):
@@ -115,7 +117,20 @@ def _stack(layers, *path):
     return jnp.stack([leaf(p) for p in layers])
 
 
-def build_decode_params(params: Params, dtype=jnp.bfloat16) -> DecodeParams:
+def build_lm_head(params: Params, dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
+    """Vocab-padded tied LM head for the in-kernel LM variant (ChunkPlan.n_lm)."""
+    w_shared = params["shared"]["weight"]
+    v, d_model = w_shared.shape
+    # pad so vp/n_lm stays 128-lane-divisible for any n_lm in {8, 16, 32}
+    vp = -(-v // 4096) * 4096
+    w_lm = jnp.zeros((vp, d_model), dtype).at[:v].set(w_shared.astype(dtype))
+    b_lm = jnp.full((1, vp), -1e9, jnp.float32).at[0, :v].set(
+        params["final_logits_bias"].astype(jnp.float32))
+    return w_lm, b_lm
+
+
+def build_decode_params(params: Params, dtype=jnp.bfloat16,
+                        with_lm_head: bool = True) -> DecodeParams:
     layers = params["decoder"]["layers"]
 
     def ln(name):
@@ -139,13 +154,7 @@ def build_decode_params(params: Params, dtype=jnp.bfloat16) -> DecodeParams:
         ],
         axis=-1,
     ).astype(jnp.float32)
-    w_shared = params["shared"]["weight"]
-    v, d_model = w_shared.shape
-    # pad so vp/n_lm stays 128-lane-divisible for any n_lm in {8, 16, 32}
-    vp = -(-v // 4096) * 4096
-    w_lm = jnp.zeros((vp, d_model), dtype).at[:v].set(w_shared.astype(dtype))
-    b_lm = jnp.full((1, vp), -1e9, jnp.float32).at[0, :v].set(
-        params["final_logits_bias"].astype(jnp.float32))
+    w_lm, b_lm = build_lm_head(params, dtype) if with_lm_head else (None, None)
     return DecodeParams(
         w_qkv=w_qkv,
         b_qkv=b_qkv,
@@ -301,6 +310,54 @@ def decode_step(
     return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 
+def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
+    """Auto ChunkPlan for the fused decode kernel at static shapes.
+
+    Chunk counts scale with batch so the per-phase VMEM footprint stays at
+    the proven batch-32 shape (bkc≈40 rows, bc≈8 batch items). Self chunks
+    must hold whole beam groups (ancestry is chunk-local) and bkc must stay
+    8-aligned (Mosaic sublane splits)."""
+    from vacnic_tpu.kernels.decode_layer import ChunkPlan
+
+    def pick(target_chunks, valid):
+        for n in (target_chunks, 8, 4, 2, 1):
+            if n >= 1 and b % n == 0 and valid(n):
+                return n
+        return 1
+
+    n_self = pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
+    n_cross = pick(max(1, b // 8), lambda n: True)
+    # Best measured per-batch configs on v5e (clean serial runs):
+    #   b32  (bk 160): n_t=4, XLA LM head          -> ~88-91 cps
+    #   b64  (bk 320): n_t=2, in-kernel LM n_lm=32 -> 107.4 cps
+    #   b128 (bk 640): n_t=1, in-kernel LM n_lm=32 -> 115.3 cps
+    # Rule: time chunks shrink as row chunks multiply (phase count ~16);
+    # the in-kernel LM head wins once its weight stream amortizes over
+    # more rows. VACNIC_PLAN_NT / VACNIC_PLAN_NLM override for sweeps.
+    import os as _os
+
+    # in-kernel LM default only at bk≈320: at bk 640 the [BK, VB] logits
+    # blocks leave <2 MB of VMEM-stack slack and the compiler's stack
+    # accounting drifts a few MB between compiles — too flaky for the
+    # recorded bench; XLA LM head there (VACNIC_PLAN_NLM=32 re-enables,
+    # measured 115.3 cps when it compiles vs the reliable default)
+    n_t = int(_os.environ.get("VACNIC_PLAN_NT", max(1, 16 // n_self)))
+    n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
+    if t_max % n_t:
+        # largest divisor of T not exceeding the request — decode_stack
+        # would otherwise reset to 1 and corrupt sweep records
+        n_t = next(n for n in range(n_t, 0, -1) if t_max % n == 0)
+    return ChunkPlan(
+        n_self=n_self,
+        n_cross=n_cross,
+        n_ffn=2 if ffn_cols % 2 == 0 else 1,
+        n_t=n_t,
+        n_lm=n_lm,
+        vmem_mb=int(_os.environ.get("VACNIC_PLAN_VMEM",
+                                    ChunkPlan._field_defaults["vmem_mb"])),
+    )
+
+
 def decode_step_pallas(
     dp: DecodeParams,
     params: Params,
@@ -339,47 +396,10 @@ def decode_step_pallas(
     beams = bk // b
     t_max = cache.self_k.shape[1]  # time-major cache: [L, T, BK, D]
     if plan is None:
-        # Chunk counts scale with batch so the per-phase VMEM footprint stays
-        # at the proven batch-32 shape (bkc≈40 rows, bc≈8 batch items).
-        # Self chunks must hold whole beam groups (ancestry is chunk-local)
-        # and bkc must stay 8-aligned (Mosaic sublane splits).
-        def pick(target_chunks, valid):
-            for n in (target_chunks, 8, 4, 2, 1):
-                if n >= 1 and b % n == 0 and valid(n):
-                    return n
-            return 1
-
-        n_self = pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
-        n_cross = pick(max(1, b // 8), lambda n: True)
-        # Best measured per-batch configs on v5e (clean serial runs):
-        #   b32  (bk 160): n_t=4, XLA LM head          -> ~88-91 cps
-        #   b64  (bk 320): n_t=2, in-kernel LM n_lm=32 -> 107.4 cps
-        #   b128 (bk 640): n_t=1, in-kernel LM n_lm=32 -> 115.3 cps
-        # Rule: time chunks shrink as row chunks multiply (phase count ~16);
-        # the in-kernel LM head wins once its weight stream amortizes over
-        # more rows. VACNIC_PLAN_NT / VACNIC_PLAN_NLM override for sweeps.
-        import os as _os
-
-        # in-kernel LM default only at bk≈320: at bk 640 the [BK, VB] logits
-        # blocks leave <2 MB of VMEM-stack slack and the compiler's stack
-        # accounting drifts a few MB between compiles — too flaky for the
-        # recorded bench; XLA LM head there (VACNIC_PLAN_NLM=32 re-enables,
-        # measured 115.3 cps when it compiles vs the reliable default)
-        n_t = int(_os.environ.get("VACNIC_PLAN_NT", max(1, 16 // n_self)))
-        n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
-        if t_max % n_t:
-            # largest divisor of T not exceeding the request — decode_stack
-            # would otherwise silently reset to 1 and corrupt sweep records
-            n_t = next(n for n in range(n_t, 0, -1) if t_max % n == 0)
-        plan = ChunkPlan(
-            n_self=n_self,
-            n_cross=n_cross,
-            n_ffn=2 if dp.w_fc1.shape[2] % 2 == 0 else 1,
-            n_t=n_t,
-            n_lm=n_lm,
-            vmem_mb=int(_os.environ.get("VACNIC_PLAN_VMEM",
-                                        ChunkPlan._field_defaults["vmem_mb"])),
-        )
+        plan = choose_plan(bk, b, t_max, dp.w_fc1.shape[2])
+    if plan.n_lm > 0 and dp.w_lm is None:
+        # direct callers (tests/benches) that built dp without the LM head
+        dp = dp._replace(**dict(zip(("w_lm", "b_lm"), build_lm_head(params, dtype))))
     bkc = bk // plan.n_self
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     group = (jnp.arange(bk, dtype=jnp.int32) // bkc) * bkc

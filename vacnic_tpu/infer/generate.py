@@ -53,7 +53,15 @@ def _decode_from_encoder(
     if use_pallas and not DF.pallas_plan_exists(bsz, k):
         use_pallas = False
     pad_to = 16 if use_pallas else int(os.environ.get("VACNIC_CACHE_PAD", 1))
-    dp = DF.build_decode_params(params, dtype)
+    plan = None
+    if use_pallas:
+        t_max = -(-dcfg.max_length // pad_to) * pad_to
+        ffn_cols = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
+        plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
+    # the padded-vocab LM head duplicate (~104 MB bf16) is only materialized
+    # when the in-kernel LM head is actually selected
+    dp = DF.build_decode_params(params, dtype,
+                                with_lm_head=plan is not None and plan.n_lm > 0)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
     cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype,
                                   pad_to=pad_to, time_major=use_pallas)
@@ -62,7 +70,7 @@ def _decode_from_encoder(
     if use_pallas:
         def step_fn(tok, cache, pos):
             return DF.decode_step_pallas(dp, params, cache, tok, pos, enc_bias,
-                                         cfg, dtype)
+                                         cfg, dtype, plan=plan)
     else:
         def step_fn(tok, cache, pos):
             return DF.decode_step(dp, params, cache, tok, pos, enc_bias, cfg, dtype)
@@ -148,32 +156,41 @@ def generate_mm(
 ):
     """Multimodal caption generation — `model.generate(...)` equivalent
     (train...match.py:513-520 call signature)."""
+    enc = _mm_encode(
+        params, input_ids, attention_mask, image_features, cfg, fcfg,
+        face_features=face_features, face_mask=face_mask,
+        name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
+        dtype=dtype,
+    )
+    return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg, dcfg, dtype)
+
+
+def _mm_encode(params, input_ids, attention_mask, image_features, cfg, fcfg,
+               *, face_features, face_mask, name_ids, name_mask, add_ner_ffn,
+               dtype):
+    """Encoder forward with the fused-Pallas gating shared by the single-chip
+    and sharded generate paths (the sharded body previously ran the XLA
+    encoder unconditionally — ADVICE r2 #1).
+
+    Fused Pallas encoder stack (kernels/encoder_stack): default ON for
+    accelerator backends on eligible configs — measured 90.1 ms vs
+    105.8-109.2 XLA at batch 32 and 121.1 vs 112-115 cps end-to-end at
+    batch 128; VACNIC_PALLAS_ENCODER=0 opts out. Parity pinned in
+    tests/test_encoder_stack.py (exact at f32; bf16-tolerance on chip)."""
     import os as _os
 
-    # fused Pallas encoder stack (kernels/encoder_stack): default ON for
-    # accelerator backends on eligible configs — measured 90.1 ms vs
-    # 105.8-109.2 XLA at batch 32 and 121.1 vs 112-115 cps end-to-end at
-    # batch 128; VACNIC_PALLAS_ENCODER=0 opts out. Parity pinned in
-    # tests/test_encoder_stack.py (exact at f32; bf16-tolerance on chip).
     enc_env = _os.environ.get("VACNIC_PALLAS_ENCODER")
     use_fused_enc = (jax.default_backend() != "cpu" if enc_env is None
                      else enc_env == "1")
-    if (use_fused_enc
-            and F.fused_encoder_eligible(fcfg, cfg, add_ner_ffn, None)):
-        enc = F.mm_encoder_fwd_fused(
-            params, input_ids, attention_mask, image_features, cfg, fcfg,
-            face_features=face_features, face_mask=face_mask,
-            name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
-            dtype=dtype,
-        )
-    else:
-        enc = F.mm_encoder_fwd(
-            params, input_ids, attention_mask, image_features, cfg, fcfg,
-            face_features=face_features, face_mask=face_mask,
-            name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
-            dtype=dtype,
-        )
-    return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg, dcfg, dtype)
+    fwd = (F.mm_encoder_fwd_fused
+           if use_fused_enc and F.fused_encoder_eligible(fcfg, cfg, add_ner_ffn, None)
+           else F.mm_encoder_fwd)
+    return fwd(
+        params, input_ids, attention_mask, image_features, cfg, fcfg,
+        face_features=face_features, face_mask=face_mask,
+        name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
+        dtype=dtype,
+    )
 
 
 def generate_mm_sharded(
@@ -223,7 +240,9 @@ def generate_mm_sharded(
 
     def body(params, input_ids, attention_mask, image_features,
              face_features, face_mask, name_ids, name_mask):
-        enc = F.mm_encoder_fwd(
+        # same fused-encoder gating as the single-chip path, so --sharded
+        # keeps the kernel speedup and identical numerics per shard
+        enc = _mm_encode(
             params, input_ids, attention_mask, image_features, cfg, fcfg,
             face_features=face_features, face_mask=face_mask,
             name_ids=name_ids, name_mask=name_mask,
@@ -242,8 +261,15 @@ def generate_mm_sharded(
     fn = _SHARDED_FNS.get(key)
     if fn is None:
         fn = jax.jit(smap(body, in_specs=in_specs, out_specs=(b, b)))
+        # bounded LRU: compiled shard_map programs hold Mesh + executable
+        # references; evict the oldest past a small cap (ADVICE r2 #3)
+        while len(_SHARDED_FNS) >= _SHARDED_FNS_MAX:
+            _SHARDED_FNS.pop(next(iter(_SHARDED_FNS)))
         _SHARDED_FNS[key] = fn
+    else:
+        _SHARDED_FNS[key] = _SHARDED_FNS.pop(key)  # refresh LRU order
     return fn(params, input_ids, attention_mask, image_features, *mm)
 
 
 _SHARDED_FNS: dict = {}
+_SHARDED_FNS_MAX = 8

@@ -380,6 +380,14 @@ def decode_stack(
     H, hd, S = cross_k.shape[2], cross_k.shape[3], cross_k.shape[4]
     beams = bk // B
     if T % plan.n_t:  # T must split evenly into time chunks
+        import warnings
+
+        warnings.warn(
+            f"decode_stack: plan.n_t={plan.n_t} does not divide T={T}; "
+            "running with n_t=1 — sweep records labeled with the requested "
+            "plan would be wrong (use a divisor of T)",
+            stacklevel=2,
+        )
         plan = plan._replace(n_t=1)
     n_t = plan.n_t
     tb = T // n_t

@@ -65,16 +65,48 @@ def load_tree(path: str):
         return unflatten({k: z[k] for k in z.files})
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    import argparse
+    import dataclasses
+
     from vacnic_tpu.core.config import BartConfig, ClipVisionConfig, FusionConfig
     from vacnic_tpu.models import weights_io as W
 
-    kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    ap = argparse.ArgumentParser(
+        description="Convert torch checkpoints (HF BART / OpenAI CLIP / "
+                    "reference VACNIC pickles) to .npz pytrees")
+    ap.add_argument("kind", choices=["bart", "clip", "vacnic"])
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--vocab-size", type=int, default=50265,
+                    help="source BART vocab (before <ENT>/<NONAME> resize)")
+    ap.add_argument("--resize-to", type=int, default=50267,
+                    help="extend vocab+logits bias to this size "
+                         "(resize_token_embeddings, model :1906-1918)")
+    ap.add_argument("--layers", type=int, default=None,
+                    help="encoder/decoder layer count (default bart-large 12)")
+    ap.add_argument("--d-model", type=int, default=None)
+    ap.add_argument("--ffn-dim", type=int, default=None)
+    ap.add_argument("--heads", type=int, default=None)
+    ap.add_argument("--max-pos", type=int, default=None)
+    args = ap.parse_args(argv)
+    kind, src, dst = args.kind, args.src, args.dst
+
     sd = W.load_state_dict(src)
     if kind == "bart":
-        cfg = BartConfig(vocab_size=50265)
+        cfg = BartConfig(vocab_size=args.vocab_size)
+        over = {
+            "encoder_layers": args.layers, "decoder_layers": args.layers,
+            "d_model": args.d_model,
+            "encoder_ffn_dim": args.ffn_dim, "decoder_ffn_dim": args.ffn_dim,
+            "encoder_attention_heads": args.heads,
+            "decoder_attention_heads": args.heads,
+            "max_position_embeddings": args.max_pos,
+        }
+        cfg = dataclasses.replace(cfg, **{k: v for k, v in over.items() if v is not None})
         params = W.convert_bart(sd, cfg)
-        params = W.resize_vocab(params, 50267)
+        if args.resize_to != args.vocab_size:
+            params = W.resize_vocab(params, args.resize_to)
     elif kind == "clip":
         params = {
             "vision": W.convert_clip_vision_openai(sd, ClipVisionConfig()),

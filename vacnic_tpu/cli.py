@@ -144,6 +144,37 @@ def _make_loaders(cfg, tokenizer, split_paths, train: bool, clip_tokenizer=None)
     return loaders
 
 
+def _convert_checkpoint_module():
+    """scripts/convert_checkpoint.py loaded as a module (scripts/ is not a
+    package; the CLI reuses its save/load helpers)."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "convert_checkpoint",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "convert_checkpoint.py"),
+    )
+    cc = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    return cc
+
+
+def _load_clip_vision_ckpt(path: str, vcfg):
+    """Load a stock OR fine-tuned CLIP vision tower for `--clip-ckpt`
+    (reference `--trained_clip CLIPNAME.pt`, train...match.py:736-739:
+    torch.loads an externally tuned CLIP in OpenAI format). Accepts a
+    converted .npz tree from `scripts/convert_checkpoint.py clip` or a raw
+    OpenAI/HF torch checkpoint."""
+    from vacnic_tpu.models import weights_io as W
+
+    if path.endswith(".npz"):
+        tree = _convert_checkpoint_module().load_tree(path)
+        return tree["vision"] if "vision" in tree else tree
+    sd = W.load_state_dict(path)
+    if any(k.startswith("visual.") for k in sd):
+        return W.convert_clip_vision_openai(sd, vcfg)
+    return W.convert_clip_vision_hf(sd, vcfg)
+
+
 def cmd_train(args) -> int:
     import jax
 
@@ -173,20 +204,14 @@ def cmd_train(args) -> int:
         # config freezes CLIP and never steps its optimizer; train...match.py:376)
         "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
     }
+    if getattr(args, "clip_ckpt", None):
+        params["clip"] = _load_clip_vision_ckpt(args.clip_ckpt, cfg.clip)
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     if args.init_bart:
         # converted pretrained BART (.npz from scripts/convert_checkpoint.py):
         # seeds shared/encoder/decoder of both the multimodal model and the
         # frozen CoLaM teacher; fusion members keep their fresh init.
-        import importlib.util as _ilu
-
-        spec = _ilu.spec_from_file_location(
-            "convert_checkpoint",
-            os.path.join(os.path.dirname(__file__), "..", "scripts", "convert_checkpoint.py"),
-        )
-        cc = _ilu.module_from_spec(spec)
-        spec.loader.exec_module(cc)
-        pretrained = cc.load_tree(args.init_bart)
+        pretrained = _convert_checkpoint_module().load_tree(args.init_bart)
         teacher = pretrained
         m = params["model"]
         m["shared"] = pretrained["shared"]
@@ -332,10 +357,19 @@ def cmd_retrieve(args) -> int:
     from vacnic_tpu.data.preprocess.clip_retrieval import retrieve_sentences, split_sentences
     from vacnic_tpu.models.clip_vit import clip_image_embed
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    from convert_checkpoint import load_tree  # noqa: E402
+    if args.clip_ckpt.endswith(".npz"):
+        clip_params = _convert_checkpoint_module().load_tree(args.clip_ckpt)
+    else:
+        # raw OpenAI-format .pt (stock or SECLA-tuned — reference
+        # --trained_clip): convert both towers in place
+        from vacnic_tpu.models import weights_io as W
+        from vacnic_tpu.models.clip_text import convert_clip_text_openai
 
-    clip_params = load_tree(args.clip_ckpt)
+        sd = W.load_state_dict(args.clip_ckpt)
+        clip_params = {
+            "vision": W.convert_clip_vision_openai(sd, ClipVisionConfig()),
+            "text": convert_clip_text_openai(sd),
+        }
     if "text" not in clip_params:
         raise SystemExit("clip checkpoint has no text tower; convert the full "
                          "OpenAI .pt with scripts/convert_checkpoint.py clip")
@@ -426,6 +460,10 @@ def main(argv=None) -> int:
     sp.add_argument("--resume", action="store_true",
                     help="resume from <out-dir>/last (full TrainState incl. optimizer)")
     sp.add_argument("--set", action="append", metavar="sec.field=val")
+    sp.add_argument("--clip-ckpt", default=None,
+                    help="stock or fine-tuned CLIP vision checkpoint "
+                         "(.npz tree or OpenAI/HF .pt — reference "
+                         "--trained_clip, train...match.py:736-739)")
     sp.add_argument("--clip-vocab", default=None,
                     help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz or HF dir) "
                          "→ emit caption_ids_clip for the CLIP contrastive loss")

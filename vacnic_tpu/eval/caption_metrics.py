@@ -15,6 +15,7 @@ and the aggregate reports it as such rather than substituting a lookalike.
 from __future__ import annotations
 
 import math
+import os
 import re
 import shutil
 from collections import Counter, defaultdict
@@ -207,20 +208,27 @@ def compute_caption_metrics(pairs: Iterable[tuple[str, str]]) -> dict:
         rouges.append(rouge_l(gen, [gt]))
         hyps.append(gen)
         refs.append([gt])
-    from vacnic_tpu.eval.meteor_py import meteor_corpus
-
     b = bleu.compute()
     meteor, meteor_src = (meteor_score(hyps, refs) if hyps else (0.0, "empty"))
-    return {
+    out = {
         "bleu": {"bleu1": b[0], "bleu2": b[1], "bleu3": b[2], "bleu4": b[3]},
         "other metrics": {
             "rouge": sum(rouges) / len(rouges) if rouges else 0.0,
-            # jar when present, else the jar-compatible meteor-1.5 python
-            # scorer; provenance always recorded in meteor_scorer
+            # exactly ONE METEOR number, like the reference's single jar
+            # scorer (train...match.py:543-548): the jar when present, else
+            # the jar-compatible meteor-1.5 python scorer; provenance always
+            # recorded in meteor_scorer
             "meteor": meteor,
             "meteor_scorer": meteor_src,
-            # legacy original-formulation METEOR (Banerjee-Lavie 2005)
-            "meteor_py": meteor_corpus([(h, r[0]) for h, r in zip(hyps, refs)]),
             "cider": cider.compute(),
         },
     }
+    if os.environ.get("VACNIC_METEOR_DEBUG") == "1":
+        # legacy original-formulation METEOR (Banerjee-Lavie 2005) — debug
+        # only; a second almost-METEOR key in the default output invites
+        # misquoting (VERDICT r2 weak #6)
+        from vacnic_tpu.eval.meteor_py import meteor_corpus
+
+        out["other metrics"]["meteor_py_debug"] = meteor_corpus(
+            [(h, r[0]) for h, r in zip(hyps, refs)])
+    return out

@@ -32,7 +32,7 @@ REFERENCE_CAPTIONS_PER_SEC = 1.4  # estimated A100 batch-1 HF-loop throughput
 def main() -> None:
     from vacnic_tpu.core.config import VacnicConfig
     from vacnic_tpu.data.synthetic import synthetic_batch
-    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.infer.generate import generate_mm_robust as generate_mm
     from vacnic_tpu.models import fusion as F
     from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
 

@@ -1,0 +1,268 @@
+"""Attribute the full decode-step cost AT THE BENCH SHAPE (batch 128, beam 5,
+bk=640, T=64, S=512, vocab 50267) — VERDICT r2 next-step #1: ~6 of 13.3
+ms/step was unattributed because prior part-benches ran at b32.
+
+Variants (each its own jitted 50-step sequential loop; BENCH_PART selects,
+comma-separated, default all — but run ONE per process on the chip: the
+remote compile service serializes poorly):
+
+  model        — chained real decode_step_pallas (kernel + anc one-hot +
+                 cache row write + XLA LM head) with argmax feedback.
+  model_nolm   — same but x_out probed with a tiny matmul instead of the
+                 LM head: isolates LM-head matmul + bias.
+  model_reorder— model + reorder_anc each step: isolates ancestry recompose.
+  logic        — the REAL beam_search loop with a stub step_fn (table-lookup
+                 logits): log_softmax + processors + top-k + bookkeeping +
+                 while-loop overhead (bench_beam_logic generalized to b128).
+  logic_noproc — logic with min_length/ngram/forced processors disabled:
+                 the processor delta.
+  softmax_topk — standalone log_softmax + score-add + reshape + top-2K scan.
+  topk_only    — standalone reshape + top-2K scan (no softmax).
+  ngram        — standalone no-repeat-ngram processor scan (the [B,K,V]
+                 scatter is the suspected hot spot).
+
+Full-step identity to check: full_bench_step ≈ model + (logic − stub) + gap.
+Writes one line per variant; run with a full log file, never through tail.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vacnic_tpu.core.config import DecodeConfig, VacnicConfig
+from vacnic_tpu.infer import decode_fast as DF
+from vacnic_tpu.infer.beam_search import _apply_no_repeat_ngram, beam_search
+from vacnic_tpu.models import fusion as F
+
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
+BEAMS, V, L = 5, 50267, 50
+T_MAX, S, D = 64, 512, 1024
+N_STEPS = 50
+BK = BATCH * BEAMS
+
+
+def timed(fn, *args, n=3):
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    best = np.inf
+    for _i in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def emit(name, seconds):
+    print(f"{name:14s} {seconds / N_STEPS * 1e3:8.3f} ms/step "
+          f"({seconds * 1e3:.1f} ms total)", flush=True)
+
+
+def model_variants(parts, cfg, params):
+    bart = cfg.bart
+    key = jax.random.PRNGKey(0)
+    dp = DF.build_decode_params(params)
+    enc_out = jax.random.normal(jax.random.fold_in(key, 1), (BATCH, S, D), jnp.bfloat16)
+    cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
+                                  pad_to=16, time_major=True)
+    enc_bias = jnp.zeros((BATCH, 1, 1, S), jnp.float32)
+    plan = DF.choose_plan(BK, BATCH, T_MAX, dp.w_fc1.shape[2])
+    print(f"plan: {plan}", flush=True)
+
+    def chained(with_lm: bool, with_reorder: bool):
+        probe_w = jax.random.normal(jax.random.fold_in(key, 2), (D, 128), jnp.bfloat16)
+
+        @jax.jit
+        def run(dp, params, enc_bias, cache, probe_w):
+            def body(carry, pos):
+                tok, cache = carry
+                logits, cache = DF.decode_step_pallas(
+                    dp, params, cache, tok, pos, enc_bias, bart, plan=plan)
+                if not with_lm:
+                    # bypass the LM head cost: decode_step_pallas already ran
+                    # it (XLA head); to isolate, recompute tok from a tiny
+                    # probe of the logits' first column only
+                    tok = (jnp.argmax(logits[:, :128], axis=-1))[:, None]
+                else:
+                    tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+                if with_reorder:
+                    sel = (jnp.arange(BK, dtype=jnp.int32) // BEAMS) * BEAMS \
+                        + (jnp.arange(BK, dtype=jnp.int32) + tok[0, 0]) % BEAMS
+                    cache = DF.reorder_anc(cache, sel)
+                return (tok.astype(jnp.int32), cache), logits[0, 0]
+
+            (tok, _), probe = jax.lax.scan(
+                body, (jnp.zeros((BK, 1), jnp.int32), cache), jnp.arange(N_STEPS))
+            return probe.sum()
+
+        return run
+
+    if "model" in parts:
+        emit("model", timed(chained(True, False), dp, params, enc_bias, cache,
+                            jnp.zeros((D, 128), jnp.bfloat16)))
+    if "model_reorder" in parts:
+        emit("model_reorder", timed(chained(True, True), dp, params, enc_bias,
+                                    cache, jnp.zeros((D, 128), jnp.bfloat16)))
+
+
+def model_nolm_variant(cfg, params):
+    """decode_step_pallas with the XLA LM head REPLACED by a 128-column probe
+    (separate function: needs the internal pieces, not the public step)."""
+    bart = cfg.bart
+    key = jax.random.PRNGKey(0)
+    dp = DF.build_decode_params(params)
+    enc_out = jax.random.normal(jax.random.fold_in(key, 1), (BATCH, S, D), jnp.bfloat16)
+    cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
+                                  pad_to=16, time_major=True)
+    enc_bias = jnp.zeros((BATCH, 1, 1, S), jnp.float32)
+    plan = DF.choose_plan(BK, BATCH, T_MAX, dp.w_fc1.shape[2])
+    from vacnic_tpu.kernels.decode_layer import decode_stack
+    from vacnic_tpu.models.bart import POS_OFFSET
+    from vacnic_tpu.models.layers import layernorm
+
+    probe_w = jax.random.normal(jax.random.fold_in(key, 2), (D, 128), jnp.bfloat16)
+
+    @jax.jit
+    def run(dp, params, enc_bias, cache, probe_w):
+        dec = params["decoder"]
+
+        def body(carry, pos):
+            tok, cache = carry
+            x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(jnp.bfloat16)
+            x = x + jnp.take(dec["embed_positions"]["weight"], pos + POS_OFFSET,
+                             axis=0).astype(jnp.bfloat16)
+            x = layernorm(dec["layernorm_embedding"], x).astype(jnp.bfloat16)
+            bkc = BK // plan.n_self
+            group = (jnp.arange(BK, dtype=jnp.int32) // bkc) * bkc
+            anc_hot = jax.nn.one_hot(cache.anc - group[None, :], bkc, dtype=jnp.bfloat16)
+            logits_p, x_out, k_new, v_new = decode_stack(
+                dp, x, pos, cache.self_k, cache.self_v, anc_hot,
+                cache.cross_k, cache.cross_v,
+                enc_bias[:, 0, 0, :].astype(jnp.float32),
+                jnp.zeros((128, D), jnp.bfloat16), jnp.zeros((1, 128), jnp.float32),
+                bart, plan=plan._replace(n_lm=0))
+            new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, None, :, :],
+                                                 (0, pos, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],
+                                                 (0, pos, 0, 0))
+            cache = cache._replace(self_k=new_k, self_v=new_v, pos=pos)
+            small = jnp.dot(x_out, probe_w, preferred_element_type=jnp.float32)
+            tok = jnp.argmax(small, axis=-1)[:, None].astype(jnp.int32)
+            return (tok, cache), small[0, 0]
+
+        (tok, _), probe = jax.lax.scan(
+            body, (jnp.zeros((BK, 1), jnp.int32), cache), jnp.arange(N_STEPS))
+        return probe.sum()
+
+    emit("model_nolm", timed(run, dp, params, enc_bias, cache, probe_w))
+
+
+def logic_variants(parts):
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (256, V), jnp.bfloat16)
+
+    def run_logic(with_procs: bool):
+        cfg = DecodeConfig(
+            num_beams=BEAMS, max_length=L, length_penalty=2.0,
+            min_length=L - 1 if with_procs else 0,
+            no_repeat_ngram_size=3 if with_procs else 0,
+            early_stopping=True, forced_eos=with_procs)
+
+        @jax.jit
+        def run(tbl, cache):
+            def step_fn(tok, cache, pos):
+                logits = jnp.take(tbl, tok[:, 0] % 256, axis=0).astype(jnp.float32)
+                return logits, {"x": cache["x"] + 1e-6}
+
+            return beam_search(
+                step_fn, cache, BATCH, cfg=cfg, eos_token_id=2, pad_token_id=1,
+                decoder_start_token_id=2, forced_bos_token_id=0, vocab_size=V)[1].sum()
+
+        cache = {"x": jnp.zeros((BK, 8), jnp.float32)}
+        return timed(run, table, cache)
+
+    if "logic" in parts:
+        emit("logic", run_logic(True))
+    if "logic_noproc" in parts:
+        emit("logic_noproc", run_logic(False))
+
+
+def softmax_topk_variants(parts):
+    key = jax.random.PRNGKey(0)
+    logits0 = jax.random.normal(key, (BK, V), jnp.float32)
+    scores0 = jnp.zeros((BATCH, BEAMS), jnp.float32)
+
+    @jax.jit
+    def sm_topk(logits0, scores0):
+        def body(scores, i):
+            lp = jax.nn.log_softmax(logits0 + scores.sum() * 1e-9, axis=-1)
+            total = lp.reshape(BATCH, BEAMS, V) + scores[:, :, None]
+            ts, ti = jax.lax.top_k(total.reshape(BATCH, BEAMS * V), 2 * BEAMS)
+            return ts[:, :BEAMS], ts[0, 0]
+
+        s, probe = jax.lax.scan(body, scores0, jnp.arange(N_STEPS))
+        return probe.sum()
+
+    @jax.jit
+    def topk_only(logits0, scores0):
+        def body(scores, i):
+            total = (logits0 + scores.sum() * 1e-9).reshape(BATCH, BEAMS * V)
+            ts, ti = jax.lax.top_k(total, 2 * BEAMS)
+            return ts[:, :BEAMS], ts[0, 0]
+
+        s, probe = jax.lax.scan(body, scores0, jnp.arange(N_STEPS))
+        return probe.sum()
+
+    if "softmax_topk" in parts:
+        emit("softmax_topk", timed(sm_topk, logits0, scores0))
+    if "topk_only" in parts:
+        emit("topk_only", timed(topk_only, logits0, scores0))
+
+
+def ngram_variant():
+    key = jax.random.PRNGKey(0)
+    seqs = jax.random.randint(key, (BATCH, BEAMS, L), 4, 100)
+    logits0 = jax.random.normal(key, (BATCH, BEAMS, V), jnp.float32)
+
+    @jax.jit
+    def run(seqs, logits0):
+        def body(carry, i):
+            lp = _apply_no_repeat_ngram(seqs, jnp.int32(40) + carry.astype(jnp.int32) * 0,
+                                        logits0 + carry * 1e-9, 3)
+            return lp[0, 0, 0], lp[0, 0, 0]
+
+        s, probe = jax.lax.scan(body, jnp.float32(0), jnp.arange(N_STEPS))
+        return probe.sum()
+
+    emit("ngram", timed(run, seqs, logits0))
+
+
+def main():
+    parts = os.environ.get("BENCH_PART", "model,logic").split(",")
+    print(f"profile_decode b{BATCH} parts={parts} backend={jax.default_backend()}",
+          flush=True)
+    needs_model = {"model", "model_reorder", "model_nolm"} & set(parts)
+    if needs_model:
+        cfg = VacnicConfig.full_train()
+        params = F.multimodal_bart_init(jax.random.PRNGKey(0), cfg.bart, cfg.fusion)
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        if {"model", "model_reorder"} & set(parts):
+            model_variants(parts, cfg, params)
+        if "model_nolm" in parts:
+            model_nolm_variant(cfg, params)
+    logic_variants(parts)
+    softmax_topk_variants(parts)
+    if "ngram" in parts:
+        ngram_variant()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,8 @@ def _expand_to_beams(x: jax.Array, k: int) -> jax.Array:
 
 
 def _decode_from_encoder(
-    params, enc_hidden, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype
+    params, enc_hidden, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype,
+    decode_plan=None,
 ):
     import os
 
@@ -55,9 +56,12 @@ def _decode_from_encoder(
     pad_to = 16 if use_pallas else int(os.environ.get("VACNIC_CACHE_PAD", 1))
     plan = None
     if use_pallas:
-        t_max = -(-dcfg.max_length // pad_to) * pad_to
-        ffn_cols = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
-        plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
+        if decode_plan is not None:
+            plan = decode_plan
+        else:
+            t_max = -(-dcfg.max_length // pad_to) * pad_to
+            ffn_cols = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
+            plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
     # the padded-vocab LM head duplicate (~104 MB bf16) is only materialized
     # when the in-kernel LM head is actually selected
     dp = DF.build_decode_params(params, dtype,
@@ -137,7 +141,8 @@ def get_prob(params, input_ids, attention_mask, decoder_input_ids, labels,
     return jnp.sum(tok_lp * valid, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "fcfg", "dcfg", "add_ner_ffn", "dtype"))
+@partial(jax.jit, static_argnames=("cfg", "fcfg", "dcfg", "add_ner_ffn", "dtype",
+                                   "decode_plan"))
 def generate_mm(
     params,
     input_ids,
@@ -153,16 +158,80 @@ def generate_mm(
     name_mask=None,
     add_ner_ffn: bool = True,
     dtype=jnp.float32,
+    decode_plan=None,
 ):
     """Multimodal caption generation — `model.generate(...)` equivalent
-    (train...match.py:513-520 call signature)."""
+    (train...match.py:513-520 call signature). `decode_plan` overrides the
+    auto ChunkPlan for the fused decode kernel (static; hashable NamedTuple)."""
     enc = _mm_encode(
         params, input_ids, attention_mask, image_features, cfg, fcfg,
         face_features=face_features, face_mask=face_mask,
         name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
         dtype=dtype,
     )
-    return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg, dcfg, dtype)
+    return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg,
+                                dcfg, dtype, decode_plan=decode_plan)
+
+
+def _plan_probe_key(bsz, dcfg, cfg):
+    return (bsz, dcfg.num_beams, dcfg.max_length, cfg.d_model)
+
+
+_LM_PLAN_OK: dict = {}  # probe result per shape: does the n_lm plan compile?
+
+
+def generate_mm_robust(params, input_ids, attention_mask, image_features,
+                       cfg, fcfg, dcfg, **kw):
+    """generate_mm with the in-kernel LM head attempted first and degraded to
+    the XLA head if Mosaic rejects it (VERDICT r2 #2).
+
+    The in-kernel LM head measures faster at large batch (115.3 vs 113.1 cps
+    at b128) but leaves <2 MB of VMEM-stack slack and the compiler's scoped
+    -stack accounting drifts a few MB between otherwise-identical compiles —
+    so n_lm>0 cannot be an unconditional default. Here: compile the full
+    search with the n_lm plan once per shape; on a Mosaic VMEM/allocation
+    failure fall back to n_lm=0 and remember the outcome. The successful
+    executable is cached by jit, so the probe is never paid twice and a
+    probe-pass can never diverge from the run (same compiled program)."""
+    import os as _os
+
+    from vacnic_tpu.infer import decode_fast as DF
+
+    bsz, k = input_ids.shape[0], dcfg.num_beams
+    env = _os.environ.get("VACNIC_PALLAS_DECODE")
+    use_pallas = (jax.default_backend() != "cpu" if env is None else env == "1")
+    if not use_pallas or not DF.pallas_plan_exists(bsz, k):
+        return generate_mm(params, input_ids, attention_mask, image_features,
+                           cfg, fcfg, dcfg, **kw)
+
+    t_max = -(-dcfg.max_length // 16) * 16
+    ffn_cols = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
+    plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
+    # the auto plan enables n_lm only where it is known-stable; try the
+    # in-kernel head wherever it measured faster (bk >= ~320) unless the
+    # sweep override pinned a value
+    want_lm = plan.n_lm if plan.n_lm > 0 else (
+        32 if bsz * k >= 320 and "VACNIC_PLAN_NLM" not in _os.environ else 0)
+    key = _plan_probe_key(bsz, dcfg, cfg)
+    if want_lm > 0 and _LM_PLAN_OK.get(key, True):
+        try:
+            out = generate_mm(params, input_ids, attention_mask, image_features,
+                              cfg, fcfg, dcfg,
+                              decode_plan=plan._replace(n_lm=want_lm), **kw)
+            _LM_PLAN_OK[key] = True
+            return out
+        except Exception as e:  # Mosaic VMEM / scoped-stack rejection
+            msg = str(e).lower()
+            if not any(s in msg for s in ("vmem", "scoped", "memory", "mosaic")):
+                raise
+            _LM_PLAN_OK[key] = False
+            import sys as _sys
+
+            print(f"generate_mm_robust: in-kernel LM head plan rejected "
+                  f"({type(e).__name__}); falling back to XLA LM head",
+                  file=_sys.stderr)
+    return generate_mm(params, input_ids, attention_mask, image_features,
+                       cfg, fcfg, dcfg, decode_plan=plan._replace(n_lm=0), **kw)
 
 
 def _mm_encode(params, input_ids, attention_mask, image_features, cfg, fcfg,

@@ -25,7 +25,7 @@ from vacnic_tpu.core.config import VacnicConfig
 from vacnic_tpu.core.logging import MetricsLogger, get_logger
 from vacnic_tpu.data.datasets import ascii_fold
 from vacnic_tpu.eval.caption_metrics import compute_caption_metrics
-from vacnic_tpu.infer.generate import generate_mm
+from vacnic_tpu.infer.generate import generate_mm_robust as generate_mm
 from vacnic_tpu.models.clip_vit import clip_vision_fwd
 from vacnic_tpu.train.checkpoints import CheckpointManager
 from vacnic_tpu.train.train_step import (

@@ -71,11 +71,13 @@ def model_variants(parts, cfg, params):
     key = jax.random.PRNGKey(0)
     dp = DF.build_decode_params(params)
     enc_out = jax.random.normal(jax.random.fold_in(key, 1), (BATCH, S, D), jnp.bfloat16)
+    int8 = os.environ.get("PROF_INT8") == "1"
     cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
-                                  pad_to=16, time_major=True)
+                                  pad_to=16, time_major=True,
+                                  cross_kv_int8=int8)
     enc_bias = jnp.zeros((BATCH, 1, 1, S), jnp.float32)
     plan = DF.choose_plan(BK, BATCH, T_MAX, dp.w_fc1.shape[2])
-    print(f"plan: {plan}", flush=True)
+    print(f"plan: {plan} int8={int8}", flush=True)
 
     def chained(with_lm: bool, with_reorder: bool):
         probe_w = jax.random.normal(jax.random.fold_in(key, 2), (D, 128), jnp.bfloat16)

@@ -166,6 +166,77 @@ def test_beam_reorder_ancestry_parity(setup):
                        flat_sel, axis=0)[:, None]
 
 
+def test_crosskv_int8_exact_when_representable(setup):
+    """With cross K/V values that are exact int8 multiples of their scale,
+    the int8 path must reproduce the bf16-path logits (the scale folds —
+    q-side for K, output-side for V — are algebraically exact)."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    tok = jnp.full((bk, 1), 5, jnp.int32)
+    pos = jnp.int32(0)
+
+    # force exactly-representable cross K/V: ints in [-127, 127] times a
+    # per-(L,B,H,hd) scale
+    rng = np.random.RandomState(1)
+    shp = cache_tm.cross_k.shape  # [L, B, H, hd, S]
+    ints_k = rng.randint(-127, 128, shp).astype(np.float32)
+    ints_v = rng.randint(-127, 128, shp).astype(np.float32)
+    # pin the per-row max to 127 so quantize recovers the exact grid (the
+    # computed scale equals the construction scale)
+    ints_k[..., 0] = 127.0
+    ints_v[..., 0] = 127.0
+    sk = rng.uniform(0.005, 0.02, shp[:-1]).astype(np.float32)
+    sv = rng.uniform(0.005, 0.02, shp[:-1]).astype(np.float32)
+    ck = jnp.asarray(ints_k * sk[..., None])
+    cv = jnp.asarray(ints_v * sv[..., None])
+
+    base = cache_tm._replace(cross_k=ck, cross_v=cv)
+    ck8, sk8 = DF.quantize_cross_kv(ck)
+    cv8, sv8 = DF.quantize_cross_kv(cv)
+    quant = cache_tm._replace(cross_k=ck8, cross_v=cv8,
+                              cross_k_scale=sk8, cross_v_scale=sv8)
+    # quantization must recover the exact int grid
+    np.testing.assert_array_equal(np.asarray(ck8, np.int32),
+                                  ints_k.astype(np.int32))
+
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+    base_logits, _ = pal(base, tok, pos)
+    quant_logits, _ = pal(quant, tok, pos)
+    np.testing.assert_allclose(np.asarray(quant_logits), np.asarray(base_logits),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_crosskv_int8_quality_proxy(setup):
+    """Real (non-grid) cross K/V: int8 must track the bf16 path to small
+    logit error and identical greedy tokens over multi-step decode — the
+    CPU half of the on-chip quality gate (scripts/ab_crosskv_int8.py)."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    ck8, sk8 = DF.quantize_cross_kv(cache_tm.cross_k)
+    cv8, sv8 = DF.quantize_cross_kv(cache_tm.cross_v)
+    quant = cache_tm._replace(cross_k=ck8, cross_v=cv8,
+                              cross_k_scale=sk8, cross_v_scale=sv8)
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+
+    def roll(cache):
+        tok = jnp.full((bk, 1), 2, jnp.int32)
+        toks = []
+        for pos in range(5):
+            logits, cache = pal(cache, tok, jnp.int32(pos))
+            tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+            toks.append(np.asarray(tok[:, 0]))
+        return np.stack(toks), np.asarray(logits)
+
+    ref_toks, ref_logits = roll(cache_tm)
+    q_toks, q_logits = roll(quant)
+    np.testing.assert_array_equal(q_toks, ref_toks)
+    assert np.max(np.abs(q_logits - ref_logits)) < 0.15
+
+
 def test_generate_mm_pallas_flag_token_parity(monkeypatch):
     """End-to-end beam search through generate_mm with VACNIC_PALLAS_DECODE=1
     (auto-interpret on CPU): token-identical to the XLA path."""

@@ -81,6 +81,12 @@ class DecodeCache(NamedTuple):
     # ~1 GB/step HBM gather with a [T, BK] int32 recompose.
     anc: jax.Array | None = None  # [T, B·K] int32 ancestry matrix
     pos: jax.Array | None = None  # scalar int32 — last written time row
+    # int8 cross-KV (kernel path): per-(L, B, H, hd) symmetric scales. The
+    # cross cache is the decode-step HBM floor (~3.2 GB/step at b128);
+    # int8 halves it. Scales fold into q (K side) and the head output
+    # (V side) — zero extra matmul cost (kernels/decode_layer._cross_attn).
+    cross_k_scale: jax.Array | None = None  # [L, B, H, hd] f32
+    cross_v_scale: jax.Array | None = None  # [L, B, H, hd] f32
 
 
 def pallas_plan_exists(b: int, beams: int) -> bool:
@@ -185,12 +191,15 @@ def build_decode_cache(
     dtype=jnp.bfloat16,
     pad_to: int = 1,
     time_major: bool = False,
+    cross_kv_int8: bool = False,
 ) -> DecodeCache:
     """Cross K/V computed once per batch item; self cache zero-initialized at
     batch·beams. `pad_to=16` rounds the T dim up to the bf16 sublane tile
     (required by the fused Pallas decode kernel; attention masks t<=pos, so
     padding rows are inert). `time_major=True` lays the self cache out
-    [L, T, B·K, D] and attaches the identity ancestry matrix (pallas path)."""
+    [L, T, B·K, D] and attaches the identity ancestry matrix (pallas path).
+    `cross_kv_int8=True` stores cross K/V as int8 with per-(L, B, H, hd)
+    symmetric scales (kernel path only — halves the per-step HBM floor)."""
     layers = params["decoder"]["layers"]
     b, s, d = enc_out.shape
     max_len = -(-max_len // pad_to) * pad_to
@@ -213,15 +222,36 @@ def build_decode_cache(
     bkt = b * num_beams
     shape = ((n_layers, max_len, bkt, d) if time_major
              else (n_layers, bkt, max_len, d))
+    cross_k, cross_v = project(wk, bk), project(wv, bv)
+    ck_scale = cv_scale = None
+    if cross_kv_int8:
+        cross_k, ck_scale = quantize_cross_kv(cross_k)
+        cross_v, cv_scale = quantize_cross_kv(cross_v)
     return DecodeCache(
         self_k=jnp.zeros(shape, dtype),
         self_v=jnp.zeros(shape, dtype),
-        cross_k=project(wk, bk),
-        cross_v=project(wv, bv),
+        cross_k=cross_k,
+        cross_v=cross_v,
         anc=(jnp.broadcast_to(jnp.arange(bkt, dtype=jnp.int32)[None, :],
                               (max_len, bkt)) if time_major else None),
         pos=jnp.int32(0) if time_major else None,
+        cross_k_scale=ck_scale,
+        cross_v_scale=cv_scale,
     )
+
+
+def quantize_cross_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[L, B, H, hd, S] → (int8 values, f32 scales [L, B, H, hd]).
+
+    Symmetric per-(layer, batch, head, channel) quantization over the S axis.
+    Channel-wise (hd) scales are FREE in the kernel: the score contraction is
+    over hd, so K's scale folds into q before the matmul; the value
+    contraction is over S, so V's scale folds into the head output after."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0  # [L, B, H, hd]
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _ln(p: jax.Array, x: jax.Array) -> jax.Array:
@@ -409,6 +439,7 @@ def decode_step_pallas(
         cache.cross_k, cache.cross_v,
         enc_mask_bias[:, 0, 0, :].astype(jnp.float32), dp.w_lm, dp.b_lm,
         cfg, plan=plan, interpret=interpret,
+        cross_k_scale=cache.cross_k_scale, cross_v_scale=cache.cross_v_scale,
     )
     new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, None, :, :],
                                          (0, pos, 0, 0))

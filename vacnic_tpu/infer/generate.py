@@ -66,9 +66,14 @@ def _decode_from_encoder(
     # when the in-kernel LM head is actually selected
     dp = DF.build_decode_params(params, dtype,
                                 with_lm_head=plan is not None and plan.n_lm > 0)
+    # int8 cross-KV (kernel path only): halves the decode-step HBM floor.
+    # Opt-in (VACNIC_CROSSKV_INT8=1) until the on-chip quality gate passes
+    # (beam-token/argmax agreement vs bf16 — scripts/ab_crosskv_int8.py).
+    cross_int8 = use_pallas and os.environ.get("VACNIC_CROSSKV_INT8") == "1"
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
     cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype,
-                                  pad_to=pad_to, time_major=use_pallas)
+                                  pad_to=pad_to, time_major=use_pallas,
+                                  cross_kv_int8=cross_int8)
     enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
     if use_pallas:

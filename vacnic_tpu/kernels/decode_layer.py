@@ -102,8 +102,10 @@ def _kernel(
     self_k_ref,    # [1, TB, BKC, D] bf16 (time-major, unreordered)
     self_v_ref,    # [1, TB, BKC, D] bf16
     anc_ref,       # [TB, BKC, BKC] — ancestry one-hot for this (tchunk, chunk)
-    cross_k_ref,   # [1, BC, H, hd, S] bf16
-    cross_v_ref,   # [1, BC, H, hd, S] bf16
+    cross_k_ref,   # [1, BC, H, hd, S] bf16 (or int8 when quant)
+    cross_v_ref,   # [1, BC, H, hd, S] bf16 (or int8 when quant)
+    ck_scale_ref,  # [1, BC, H, hd] f32 — int8 dequant scales (dummy if not quant)
+    cv_scale_ref,  # [1, BC, H, hd] f32
     enc_bias_ref,  # [BC, S] f32
     w_lm_ref,      # [VB, d] bf16 — tied LM head rows for this vocab chunk
     b_lm_ref,      # [1, VB] f32 — final_logits_bias chunk (pad rows -1e9)
@@ -131,6 +133,7 @@ def _kernel(
     beams: int,
     act_name: str,
     mm_dtype=jnp.bfloat16,
+    quant: bool = False,
 ):
     use_lm = plan.n_lm > 0
     l = pl.program_id(0)
@@ -289,15 +292,25 @@ def _kernel(
         outs = []
         for h in range(H):
             q_h = q_pad[:, h * hd:(h + 1) * hd].reshape(bc, kp, hd)
+            if quant:
+                # int8 K: per-(B, H, hd) scale folds into q BEFORE the score
+                # contraction (over hd) — dequant costs one tiny VPU multiply
+                q_h = (q_h.astype(jnp.float32)
+                       * ck_scale_ref[0, :, h, :][:, None, :]).astype(mm_dtype)
             k_h = cross_k_ref[0, :, h].astype(mm_dtype)  # [BC, hd, S]
             s_h = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) + bias  # [BC, KP, S]
             p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
-            outs.append(jax.lax.dot_general(
+            o_h = jax.lax.dot_general(
                 p_h, cross_v_ref[0, :, h].astype(mm_dtype),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32))  # [BC, KP, hd]
+                preferred_element_type=jnp.float32)  # [BC, KP, hd]
+            if quant:
+                # int8 V: the value contraction is over S, so the scale
+                # applies AFTER the matmul, per output channel
+                o_h = o_h * cv_scale_ref[0, :, h, :][:, None, :]
+            outs.append(o_h)
         o_pad = jnp.concatenate(outs, axis=-1).reshape(bc * kp, d)  # merge ok
         # unpad KP→beams with the transposed selector
         o = jnp.dot(expand.T, o_pad.astype(mm_dtype),
@@ -358,7 +371,7 @@ def decode_stack(
     self_k: jax.Array,  # [L, T, BK, D] bf16, T % 16 == 0 — raw, unreordered
     self_v: jax.Array,
     anc_hot: jax.Array,  # [T, BK, BKC] one-hot of the ancestry matrix, chunk-local
-    cross_k: jax.Array,  # [L, B, H, hd, S] bf16
+    cross_k: jax.Array,  # [L, B, H, hd, S] bf16 — or int8 (with scales below)
     cross_v: jax.Array,
     enc_bias: jax.Array,  # [B, S] f32 additive pad bias
     w_lm: jax.Array,   # [Vp, d] bf16 — tied LM head, vocab padded to n_lm·128k
@@ -366,6 +379,8 @@ def decode_stack(
     cfg: BartConfig,
     plan: ChunkPlan = ChunkPlan(),
     interpret: bool = False,
+    cross_k_scale: jax.Array | None = None,  # [L, B, H, hd] f32 (int8 cross-KV)
+    cross_v_scale: jax.Array | None = None,
 ):
     """→ (logits [BK, Vp] f32, x_out [BK, d], k_new [L, BK, D], v_new [L, BK, D]).
 
@@ -401,6 +416,12 @@ def decode_stack(
         b_lm = jnp.zeros((1, 128), jnp.float32)
     vp = w_lm.shape[0]
     vb = vp // plan.n_lm if use_lm else 128
+    quant = cross_k_scale is not None
+    if not quant:
+        # bf16 path: tiny dummies with a constant index map — fetched once,
+        # never read by the kernel (same pattern as the LM-head dummies)
+        cross_k_scale = jnp.zeros((1, 1, 1, hd), jnp.float32)
+        cross_v_scale = jnp.zeros((1, 1, 1, hd), jnp.float32)
     assert bk % plan.n_self == 0 and B % plan.n_cross == 0 and T % n_t == 0
     # row chunks must hold whole beam groups: ancestry stays chunk-local
     assert bkc % beams == 0 and anc_hot.shape == (T, bk, bkc)
@@ -471,6 +492,14 @@ def decode_stack(
                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1), cross_j(l, p, pos_ref), 0, 0, 0)),
         pl.BlockSpec((1, bc, H, hd, S),
                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1), cross_j(l, p, pos_ref), 0, 0, 0)),
+        (pl.BlockSpec((1, bc, H, hd),
+                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1), cross_j(l, p, pos_ref), 0, 0))
+         if quant else
+         pl.BlockSpec((1, 1, 1, hd), lambda l, p, pos_ref: (0, 0, 0, 0))),   # ck_scale
+        (pl.BlockSpec((1, bc, H, hd),
+                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1), cross_j(l, p, pos_ref), 0, 0))
+         if quant else
+         pl.BlockSpec((1, 1, 1, hd), lambda l, p, pos_ref: (0, 0, 0, 0))),   # cv_scale
         pl.BlockSpec((bc, S),
                      lambda l, p, pos_ref: (cross_j(l, p, pos_ref), 0)),     # enc_bias
         pl.BlockSpec((vb, d), lambda l, p, pos_ref: (lm_j(l, p, pos_ref), 0)),  # w_lm
@@ -494,7 +523,7 @@ def decode_stack(
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     kernel = functools.partial(
         _kernel, plan=plan, cfg_heads=H, cfg_hd=hd, beams=beams,
-        act_name=cfg.activation_function, mm_dtype=mm_dtype)
+        act_name=cfg.activation_function, mm_dtype=mm_dtype, quant=quant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -529,6 +558,7 @@ def decode_stack(
         dp.b_cross_out[:, None, :], dp.ln_cross,
         dp.w_fc1, dp.b_fc1[:, None, :], dp.w_fc2, dp.b_fc2[:, None, :],
         dp.ln_final,
-        self_k, self_v, anc_hot, cross_k, cross_v, enc_bias, w_lm, b_lm,
+        self_k, self_v, anc_hot, cross_k, cross_v,
+        cross_k_scale, cross_v_scale, enc_bias, w_lm, b_lm,
     )
     return logits, x_out, k_new, v_new

@@ -50,6 +50,7 @@ parity check is scripts/bench_decode_kernel.py BENCH_MODE=parity).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -134,6 +135,7 @@ def _kernel(
     act_name: str,
     mm_dtype=jnp.bfloat16,
     quant: bool = False,
+    no_gather: bool = False,
 ):
     use_lm = plan.n_lm > 0
     l = pl.program_id(0)
@@ -217,10 +219,15 @@ def _kernel(
             # ancestry one-hot: K_g[t, c, :] = K_raw[t, anc[t, c], :] as a
             # batched matmul (batch dim = t; Mosaic allows exactly one).
             anc = anc_ref[...].astype(mm_dtype)  # [TB, C, C']
-            gat = lambda ref: jax.lax.dot_general(
-                anc, ref[0].astype(mm_dtype),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(mm_dtype)
+            if no_gather:
+                # PROFILING ONLY (wrong numerics): skip the beam-align
+                # matmuls to measure their cost in situ
+                gat = lambda ref: ref[0].astype(mm_dtype)
+            else:
+                gat = lambda ref: jax.lax.dot_general(
+                    anc, ref[0].astype(mm_dtype),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32).astype(mm_dtype)
             kg = gat(self_k_ref)  # [TB, C, D]
             qm = q_s[...]
             # Mosaic cannot store at a dynamic sublane index (bf16 packing),
@@ -523,7 +530,8 @@ def decode_stack(
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     kernel = functools.partial(
         _kernel, plan=plan, cfg_heads=H, cfg_hd=hd, beams=beams,
-        act_name=cfg.activation_function, mm_dtype=mm_dtype, quant=quant)
+        act_name=cfg.activation_function, mm_dtype=mm_dtype, quant=quant,
+        no_gather=os.environ.get("VACNIC_KERNEL_NOGATHER") == "1")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

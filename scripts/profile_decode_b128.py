@@ -229,6 +229,85 @@ def softmax_topk_variants(parts):
         emit("topk_only", timed(topk_only, logits0, scores0))
 
 
+def loop_parts_variants(parts):
+    """The REAL while_loop shape with individual heavy ops STUBBED (wrong
+    results, same shapes) — differential attribution inside the true compile
+    context (the isolated scan variants read 15x the in-loop cost; XLA
+    compiles top_k differently there, so isolate by subtraction instead)."""
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (256, V), jnp.bfloat16)
+
+    def run_loop(no_topk=False, no_softmax=False, no_bookkeeping=False):
+        lcfg = DecodeConfig(num_beams=BEAMS, max_length=L, length_penalty=2.0,
+                            min_length=L - 1, no_repeat_ngram_size=3,
+                            early_stopping=True, forced_eos=True)
+
+        @jax.jit
+        def run(tbl):
+            def cond(s):
+                return s["cur"] < L
+
+            def body(s):
+                cur = s["cur"]
+                tok = jax.lax.dynamic_slice_in_dim(
+                    s["seqs"].reshape(BATCH * BEAMS, L), cur - 1, 1, axis=1)
+                logits = jnp.take(tbl, tok[:, 0] % 256, axis=0).astype(jnp.float32)
+                if no_softmax:
+                    lp = logits * 0.9999
+                else:
+                    lp = jax.nn.log_softmax(logits, axis=-1)
+                lp = lp.reshape(BATCH, BEAMS, V)
+                # min_length + forced processors (elementwise; ngram measured
+                # separately at 1.2 ms — keep off here to isolate)
+                lp = jnp.where(
+                    (cur < lcfg.min_length)
+                    & (jnp.arange(V)[None, None, :] == 2), -1e7, lp)
+                total = lp + s["scores"][:, :, None]
+                flat = total.reshape(BATCH, BEAMS * V)
+                if no_topk:
+                    ts = jax.lax.dynamic_slice_in_dim(flat, 0, 2 * BEAMS, axis=1) \
+                        + jnp.float32(cur)
+                    ti = jnp.broadcast_to(
+                        jnp.arange(2 * BEAMS, dtype=jnp.int32)[None, :],
+                        (BATCH, 2 * BEAMS)) * (V // 2)
+                else:
+                    ts, ti = jax.lax.top_k(flat, 2 * BEAMS)
+                if no_bookkeeping:
+                    seqs = s["seqs"]
+                    scores = ts[:, :BEAMS]
+                else:
+                    beam = ti // V
+                    tokn = ti % V
+                    cand = jnp.take_along_axis(
+                        s["seqs"], beam[:, :, None], axis=1)  # [B, 2K, L]
+                    cand = jax.lax.dynamic_update_slice_in_dim(
+                        cand, tokn[:, :, None], cur, axis=2)
+                    keep_s, keep_i = jax.lax.top_k(ts, BEAMS)
+                    seqs = jnp.take_along_axis(cand, keep_i[:, :, None], axis=1)
+                    scores = keep_s
+                return {"cur": cur + 1, "seqs": seqs, "scores": scores}
+
+            init = {
+                "cur": jnp.int32(1),
+                "seqs": jnp.full((BATCH, BEAMS, L), 1, jnp.int32),
+                "scores": jnp.tile(jnp.array([0.0] + [-1e7] * (BEAMS - 1),
+                                             jnp.float32), (BATCH, 1)),
+            }
+            out = jax.lax.while_loop(cond, body, init)
+            return out["scores"].sum()
+
+        return timed(run, table)
+
+    if "loop_full" in parts:
+        emit("loop_full", run_loop())
+    if "loop_notopk" in parts:
+        emit("loop_notopk", run_loop(no_topk=True))
+    if "loop_nosm" in parts:
+        emit("loop_nosm", run_loop(no_softmax=True))
+    if "loop_nobk" in parts:
+        emit("loop_nobk", run_loop(no_bookkeeping=True))
+
+
 def ngram_variant():
     key = jax.random.PRNGKey(0)
     seqs = jax.random.randint(key, (BATCH, BEAMS, L), 4, 100)
@@ -262,6 +341,7 @@ def main():
             model_nolm_variant(cfg, params)
     logic_variants(parts)
     softmax_topk_variants(parts)
+    loop_parts_variants(parts)
     if "ngram" in parts:
         ngram_variant()
 

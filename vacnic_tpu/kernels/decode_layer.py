@@ -18,8 +18,10 @@ carries x across grid steps. Phases within a layer:
                         beam ancestry matrix anc[t, c] (= which physical row
                         holds beam c's K/V from step t) enters as a per-chunk
                         one-hot [T, BKC, BKC], and the kernel gathers K/V
-                        with batched MXU matmuls (≈10 GFLOP/step — noise
-                        next to the ~1 GB/step HBM gather it replaces).
+                        with batched MXU matmuls (~20 GFLOP/step at b32 —
+                        noise next to the ~1 GB/step HBM gather it replaces;
+                        at b128 this grows to ~80 GFLOP/step at MXU-hostile
+                        40-deep shapes — see docs/decode_budget.md).
                         Attention runs ONLINE-SOFTMAX over the time chunks,
                         and `pos` is a SCALAR-PREFETCH argument consumed by
                         the index maps: time chunks beyond pos//TB map to the

@@ -67,11 +67,13 @@ def gather_beams(x, beam_indices, b, k_out):
     return x[batch, beam_indices]
 
 
-def _apply_no_repeat_ngram(seqs: jax.Array, cur_len: jax.Array, logprobs: jax.Array, n: int):
+def _apply_no_repeat_ngram(seqs: jax.Array, cur_len: jax.Array, logprobs: jax.Array, n: int,
+                           ban_value=NEG_INF):
     """Ban tokens that would complete an n-gram already in the sequence.
 
     seqs [B, K, L]; logprobs [B, K, V]. A token v is banned iff the last n-1
     generated tokens followed by v occur earlier as a contiguous n-gram.
+    `ban_value` may be a broadcastable array (the shifted-domain ban).
     """
     b, k, L = seqs.shape
     v = logprobs.shape[-1]
@@ -92,7 +94,30 @@ def _apply_no_repeat_ngram(seqs: jax.Array, cur_len: jax.Array, logprobs: jax.Ar
     ban = ban.at[jnp.arange(b)[:, None, None], jnp.arange(k)[None, :, None], banned_tok].max(
         match
     )
-    return jnp.where(ban, NEG_INF, logprobs)
+    return jnp.where(ban, ban_value, logprobs)
+
+
+def chunked_top_k(flat: jax.Array, k: int, chunk: int = 4096):
+    """Exact top-k over very wide rows via per-chunk top-k then a merge.
+
+    XLA's single top-k over a [B, 251k] row measures ~2.0 ms/step at the
+    b128 bench shape (scripts/profile_decode_b128.py loop_notopk delta);
+    splitting the row into `chunk`-wide pieces, taking top-k in each, and
+    re-ranking the nc·k survivors is algebraically exact (every global
+    top-k element is a top-k element of its chunk) and much cheaper.
+    """
+    b, n = flat.shape
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    piece = flat.reshape(b, nc, chunk)
+    s1, i1 = jax.lax.top_k(piece, k)  # [B, nc, k]
+    base = (jnp.arange(nc, dtype=jnp.int32) * chunk)[None, :, None]
+    g1 = i1 + base  # global indices
+    s2, i2 = jax.lax.top_k(s1.reshape(b, nc * k), k)
+    idx = jnp.take_along_axis(g1.reshape(b, nc * k), i2, axis=1)
+    return s2, idx
 
 
 def beam_search(
@@ -140,39 +165,54 @@ def beam_search(
             flatten_beam_dim(s.running_seqs), cur - 1, 1, axis=1
         )
         logits, new_cache = step_fn(tok, s.cache, cur - 1)
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logprobs = unflatten_beam_dim(logprobs, b, k)  # [B, K, V]
+        logits = unflatten_beam_dim(logits.astype(jnp.float32), b, k)  # [B, K, V]
+        # log_softmax + score-add in ONE fused pass: total = logits + (score
+        # − logsumexp) per beam. Algebraically identical to
+        # log_softmax(logits) + scores, but skips materializing the [B·K, V]
+        # logprob array (measured 1.65 ms/step at b128 —
+        # scripts/profile_decode_b128.py loop_nosm delta).
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B, K]
+        shift = s.running_scores - lse
+        total = logits + shift[:, :, None]  # [B, K, V] = logprobs + scores
 
-        # --- logits processors (HF order; forced_bos overrides last) -------
+        # --- logits processors (HF order; forced_bos overrides last),
+        # applied in the shifted (score-added) domain: a ban that set
+        # logprob=NEG_INF becomes total=score+NEG_INF, identical to the
+        # unshifted formulation ---------------------------------------------
+        banned_total = s.running_scores[:, :, None] + NEG_INF
         if cfg.min_length > 0:
-            logprobs = jnp.where(
+            total = jnp.where(
                 (cur < cfg.min_length)
                 & (jnp.arange(vocab_size)[None, None, :] == eos_token_id),
-                NEG_INF,
-                logprobs,
+                banned_total,
+                total,
             )
         if cfg.no_repeat_ngram_size > 0:
-            logprobs = _apply_no_repeat_ngram(s.running_seqs, cur, logprobs, cfg.no_repeat_ngram_size)
+            total = _apply_no_repeat_ngram(s.running_seqs, cur, total,
+                                           cfg.no_repeat_ngram_size,
+                                           ban_value=banned_total)
         if forced_bos_token_id is not None:
+            # forced token's logprob is 0 → total = running score exactly
             is_first = cur == 1
             forced = jnp.where(
-                jnp.arange(vocab_size)[None, None, :] == forced_bos_token_id, 0.0, NEG_INF
+                jnp.arange(vocab_size)[None, None, :] == forced_bos_token_id,
+                s.running_scores[:, :, None], banned_total,
             )
-            logprobs = jnp.where(is_first, forced, logprobs)
+            total = jnp.where(is_first, forced, total)
         if cfg.forced_eos:
             # ForcedEOSTokenLogitsProcessor: at max_length-1 all mass on eos
             # with score 0 (BartConfig default forced_eos_token_id).
             is_last = cur == L - 1
             forced = jnp.where(
-                jnp.arange(vocab_size)[None, None, :] == eos_token_id, 0.0, NEG_INF
+                jnp.arange(vocab_size)[None, None, :] == eos_token_id,
+                s.running_scores[:, :, None], banned_total,
             )
-            logprobs = jnp.where(is_last, forced, logprobs)
+            total = jnp.where(is_last, forced, total)
 
-        total = logprobs + s.running_scores[:, :, None]  # [B, K, V]
-        # single top-2K over the flattened K·V row — measured FASTER than the
-        # two-stage per-beam variant on v5e (38.2 vs 27.6 captions/sec)
+        # top-2K over the flattened K·V row, chunked (exact; the single-call
+        # lax.top_k over 251k-wide rows measured ~2.0 ms/step at b128)
         flat = total.reshape(b, k * vocab_size)
-        topk_scores, topk_idx = jax.lax.top_k(flat, 2 * k)  # [B, 2K]
+        topk_scores, topk_idx = chunked_top_k(flat, 2 * k)  # [B, 2K]
         topk_beam = topk_idx // vocab_size
         topk_tok = topk_idx % vocab_size
 

@@ -49,10 +49,18 @@ def main():
     plan = EncPlan(parts=parts)
 
     fn = jax.jit(lambda sp, x0, ck, cv, sb, cb: encoder_text_stack(
-        sp, x0, ck, cv, sb, cb, cfg, plan=plan))
+        sp, x0, ck, cv, sb, cb, cfg, plan=plan)[:, 0, :8])
     print(f"compiling parts={parts}...", file=sys.stderr, flush=True)
     out = np.asarray(fn(sp, x0, ck, cv, sbias, cbias))
-    print(f"parts={parts}: OK, out mean {float(np.mean(np.abs(out))):.5f}")
+    import time
+
+    best = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(sp, x0, ck, cv, sbias, cbias))
+        best = min(best, time.perf_counter() - t0)
+    print(f"parts={parts}: OK, out mean {float(np.mean(np.abs(out))):.5f}, "
+          f"{best*1e3:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -178,3 +178,26 @@ def test_released_config_modes_identical():
                for c in ("4.18", "modern")}
         assert out["4.18"][0] == out["modern"][0], f"trial {trial}"
         np.testing.assert_allclose(out["4.18"][1], out["modern"][1], rtol=1e-6)
+
+
+def test_chunked_top_k_matches_single_call():
+    """chunked_top_k is exact: identical scores to lax.top_k on wide rows
+    with duplicates and -inf padding interactions."""
+    from vacnic_tpu.infer.beam_search import chunked_top_k
+
+    rng = np.random.RandomState(0)
+    for n, chunk in ((251335, 4096), (10000, 1024), (100, 32), (64, 64)):
+        x = jnp.asarray(rng.randn(4, n).astype(np.float32))
+        # plant duplicates and extremes
+        x = x.at[0, : 20].set(7.5)
+        x = x.at[1, n - 1].set(99.0)
+        s_ref, i_ref = jax.lax.top_k(x, 10)
+        s_chk, i_chk = chunked_top_k(x, 10, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(s_chk), np.asarray(s_ref))
+        # indices must point at equal values (ties may order differently
+        # between implementations at equal scores — values are the contract
+        # used by beam_search only via score ranking plus stable candidate
+        # identity; check gathered values)
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(x), np.asarray(i_chk), axis=1),
+            np.asarray(s_ref))

@@ -111,12 +111,15 @@ def chunked_top_k(flat: jax.Array, k: int, chunk: int = 4096):
     pad = nc * chunk - n
     if pad:
         flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    piece = flat.reshape(b, nc, chunk)
-    s1, i1 = jax.lax.top_k(piece, k)  # [B, nc, k]
-    base = (jnp.arange(nc, dtype=jnp.int32) * chunk)[None, :, None]
-    g1 = i1 + base  # global indices
+    # stage 1 in 2D ([B·nc, chunk]) — a 3D operand falls off TPU TopK's fast
+    # path onto a full sort (measured: the 3D form collapsed the bench
+    # 123 → 73 cps)
+    piece = flat.reshape(b * nc, chunk)
+    s1, i1 = jax.lax.top_k(piece, k)  # [B·nc, k]
+    base = (jnp.arange(nc, dtype=jnp.int32) * chunk)[:, None]
+    g1 = (i1.reshape(b, nc, k) + base[None]).reshape(b, nc * k)
     s2, i2 = jax.lax.top_k(s1.reshape(b, nc * k), k)
-    idx = jnp.take_along_axis(g1.reshape(b, nc * k), i2, axis=1)
+    idx = jnp.take_along_axis(g1, i2, axis=1)
     return s2, idx
 
 
@@ -210,9 +213,15 @@ def beam_search(
             total = jnp.where(is_last, forced, total)
 
         # top-2K over the flattened K·V row, chunked (exact; the single-call
-        # lax.top_k over 251k-wide rows measured ~2.0 ms/step at b128)
+        # lax.top_k over 251k-wide rows measured ~2.0 ms/step at b128;
+        # VACNIC_CHUNKED_TOPK=0 reverts to the single call for A/B)
+        import os as _os
+
         flat = total.reshape(b, k * vocab_size)
-        topk_scores, topk_idx = chunked_top_k(flat, 2 * k)  # [B, 2K]
+        if _os.environ.get("VACNIC_CHUNKED_TOPK", "1") == "1":
+            topk_scores, topk_idx = chunked_top_k(flat, 2 * k)  # [B, 2K]
+        else:
+            topk_scores, topk_idx = jax.lax.top_k(flat, 2 * k)
         topk_beam = topk_idx // vocab_size
         topk_tok = topk_idx % vocab_size
 

@@ -212,13 +212,16 @@ def beam_search(
             )
             total = jnp.where(is_last, forced, total)
 
-        # top-2K over the flattened K·V row, chunked (exact; the single-call
-        # lax.top_k over 251k-wide rows measured ~2.0 ms/step at b128;
-        # VACNIC_CHUNKED_TOPK=0 reverts to the single call for A/B)
+        # single top-2K over the flattened K·V row. MEASURED (r3, b128):
+        # chunked variants are a big LOSS on this backend — 3D stage-1
+        # collapsed the bench 123→73 cps and even 2D [B·nc, 4096] chunking
+        # read 9.9 ms/step vs 4.1 for the single wide call; TPU TopK's fast
+        # path handles [128, 251335] k=10 best. VACNIC_CHUNKED_TOPK=1 keeps
+        # the chunked path available for future-backend A/B.
         import os as _os
 
         flat = total.reshape(b, k * vocab_size)
-        if _os.environ.get("VACNIC_CHUNKED_TOPK", "1") == "1":
+        if _os.environ.get("VACNIC_CHUNKED_TOPK", "0") == "1":
             topk_scores, topk_idx = chunked_top_k(flat, 2 * k)  # [B, 2K]
         else:
             topk_scores, topk_idx = jax.lax.top_k(flat, 2 * k)

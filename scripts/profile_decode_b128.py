@@ -270,6 +270,9 @@ def loop_parts_variants(parts):
                     ti = jnp.broadcast_to(
                         jnp.arange(2 * BEAMS, dtype=jnp.int32)[None, :],
                         (BATCH, 2 * BEAMS)) * (V // 2)
+                elif os.environ.get("LOOP_APPROX") == "1":
+                    ts, ti = jax.lax.approx_max_k(flat, 2 * BEAMS,
+                                                  recall_target=1.0)
                 else:
                     ts, ti = jax.lax.top_k(flat, 2 * BEAMS)
                 if no_bookkeeping:

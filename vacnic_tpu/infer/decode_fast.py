@@ -368,10 +368,15 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
 
     # in-kernel LM default only at bk≈320: at bk 640 the [BK, VB] logits
     # blocks leave <2 MB of VMEM-stack slack and the compiler's stack
-    # accounting drifts a few MB between compiles — too flaky for the
-    # recorded bench; XLA LM head there (VACNIC_PLAN_NLM=32 re-enables,
-    # measured 115.3 cps when it compiles vs the reliable default)
-    n_t = int(_os.environ.get("VACNIC_PLAN_NT", max(1, 16 // n_self)))
+    # accounting drifts a few MB between compiles — too flaky for an
+    # unconditional default; generate_mm_robust probes n_lm=32 per shape
+    # and falls back (with int8 cross-KV it fit and ran the r3 bench).
+    # n_t: time chunks restore the pos-scalar-prefetch elision (cache reads
+    # and ancestry-gather FLOPs scale with decoded length). r3 MEASURED at
+    # b128: n_t=4 beats 1 (8.86 vs 9.23 ms model step with int8); b64 kept
+    # at the r2-measured 2.
+    default_nt = 4 if bk >= 640 else max(1, 16 // n_self)
+    n_t = int(_os.environ.get("VACNIC_PLAN_NT", default_nt))
     n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
     if t_max % n_t:
         # largest divisor of T not exceeding the request — decode_stack

@@ -54,6 +54,12 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg, decode=dataclasses.replace(cfg.decode, min_length=cfg.decode.max_length - 1)
     )
+    if "BENCH_NGRAM" in os.environ:
+        # measurement-only knob (the released config uses ngram=3): isolates
+        # the no-repeat-ngram processor's in-situ cost
+        cfg = dataclasses.replace(
+            cfg, decode=dataclasses.replace(
+                cfg.decode, no_repeat_ngram_size=int(os.environ["BENCH_NGRAM"])))
     key = jax.random.PRNGKey(0)
     params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
     compute_dtype = jnp.float32 if os.environ.get("BENCH_TINY") else jnp.bfloat16

@@ -101,7 +101,7 @@ def _kernel(
     b_fc2_ref, ln_f_ref,
     ck_ref,        # [1, BC, d, KV] bf16 — per-layer cross K, PRE-TRANSPOSED
     cv_ref,        # [1, BC, KV, d] bf16
-    sbias_ref,     # [RPC, S] f32 — pad bias pre-expanded per query row
+    sbias_ref,     # [BC, S] f32 — per-item additive pad bias
     x_out_ref,     # [RPC, d] — chunk of the output (written at last layer)
     x_s,           # [B*S, d] scratch — resident activations
     acc_s,         # [RPC, d] f32 scratch — FFN column accumulator
@@ -162,7 +162,16 @@ def _kernel(
             qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
                            preferred_element_type=jnp.float32)
                    + b_qkv_ref[0, 0][None, :]).astype(mm_dtype)
-            sb2 = sbias_ref[...]  # [RPC, S] — pre-expanded per query row
+            # Expand the per-item [BC, S] pad bias to one row per query token
+            # via a one-hot MATMUL (E[r, i] = 1 iff r // S == i): the direct
+            # [BC, 1, S] broadcast-add crashes Mosaic (module docstring) and
+            # the old pre-expanded [B·S, S] operand cost 134 MB HBM at b128
+            # plus a per-layer refetch.
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, bc), 0)
+            i_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, bc), 1)
+            expand = (r_ids // seq == i_ids).astype(mm_dtype)
+            sb2 = jnp.dot(expand, sbias_ref[...].astype(mm_dtype),
+                          preferred_element_type=jnp.float32)  # [RPC, S]
             outs = []
             for h in range(heads):
                 q_h = (qkv[:, h * hd:(h + 1) * hd] * scaling).reshape(bc, seq, hd)
@@ -311,9 +320,10 @@ def encoder_text_stack(
         pl.BlockSpec((1, 2, d), c(0, 0)),
         pl.BlockSpec((1, bc, d, KV), lambda l, p: (l, a_chunk(l, p), 0, 0)),  # ck
         pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, a_chunk(l, p), 0, 0)),  # cv
-        # pad bias pre-expanded per query row ([B·S, S]) — see module
-        # docstring for the Mosaic broadcast-add crash this sidesteps
-        pl.BlockSpec((rpc, S), lambda l, p: (a_chunk(l, p), 0)),              # sbias
+        # per-item pad bias [BC, S]; expanded to query rows in-kernel via a
+        # one-hot matmul (see _attn) — the Mosaic broadcast-add crash
+        # workaround without the old materialized [B·S, S] operand
+        pl.BlockSpec((bc, S), lambda l, p: (a_chunk(l, p), 0)),               # sbias
     ]
     out_specs = pl.BlockSpec(
         (rpc, d),
@@ -340,7 +350,6 @@ def encoder_text_stack(
         sp.w_cq, sp.b_cq, sp.w_co, sp.b_co, sp.ln_c,
         sp.w_fc1, sp.b_fc1, sp.w_fc2, sp.b_fc2, sp.ln_f,
         cross_k.astype(in_dtype), cross_v.astype(in_dtype),
-        jnp.broadcast_to(self_bias.astype(jnp.float32)[:, None, :],
-                         (B, S, S)).reshape(B * S, S),
+        self_bias.astype(jnp.float32),
     )
     return out.reshape(B, S, d).astype(x0.dtype)

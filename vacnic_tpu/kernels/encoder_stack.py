@@ -31,8 +31,9 @@ Mosaic gotcha encoded here (isolated with scripts/mosaic_probe.py): adding a
 [BC, 1, S] bias to [BC, S, S] scores — a middle-dim sublane broadcast with a
 small outer batch — crashes Mosaic's lowering ("limits 64 vs 1" internal
 check; both contraction orders compile fine). The self-attn pad bias
-therefore enters PRE-EXPANDED as 2D rows ([B·S, S], one row per query
-token), added to the scores reshaped to [BC·S, S]; the cross bias is
+therefore enters as the raw [B, S] array (whole-array block, fetched once)
+and is expanded to one row per query token IN-KERNEL via a one-hot matmul,
+then added to the scores reshaped to [BC·S, S]; the cross bias is
 structurally zero in the supported configs (the img+ner mask is all-ones)
 and is not added at all.
 
@@ -101,7 +102,7 @@ def _kernel(
     b_fc2_ref, ln_f_ref,
     ck_ref,        # [1, BC, d, KV] bf16 — per-layer cross K, PRE-TRANSPOSED
     cv_ref,        # [1, BC, KV, d] bf16
-    sbias_ref,     # [BC, S] f32 — per-item additive pad bias
+    sbias_ref,     # [B, S] f32 — per-item additive pad bias (whole array)
     x_out_ref,     # [RPC, d] — chunk of the output (written at last layer)
     x_s,           # [B*S, d] scratch — resident activations
     acc_s,         # [RPC, d] f32 scratch — FFN column accumulator
@@ -162,14 +163,16 @@ def _kernel(
             qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
                            preferred_element_type=jnp.float32)
                    + b_qkv_ref[0, 0][None, :]).astype(mm_dtype)
-            # Expand the per-item [BC, S] pad bias to one row per query token
-            # via a one-hot MATMUL (E[r, i] = 1 iff r // S == i): the direct
-            # [BC, 1, S] broadcast-add crashes Mosaic (module docstring) and
-            # the old pre-expanded [B·S, S] operand cost 134 MB HBM at b128
-            # plus a per-layer refetch.
-            r_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, bc), 0)
-            i_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, bc), 1)
-            expand = (r_ids // seq == i_ids).astype(mm_dtype)
+            # Expand the per-item [B, S] pad bias to one row per query token
+            # of THIS chunk via a one-hot MATMUL (E[r, i] = 1 iff the chunk's
+            # item p·bc + r//S == i): the direct [BC, 1, S] broadcast-add
+            # crashes Mosaic (module docstring) and the old pre-expanded
+            # [B·S, S] operand cost 134 MB HBM at b128 plus a per-layer
+            # refetch. The [B, S] block is whole-array (Mosaic needs sublane
+            # dims of 8+ or full) and fetched once.
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, batch), 0)
+            i_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, batch), 1)
+            expand = (p * bc + r_ids // seq == i_ids).astype(mm_dtype)
             sb2 = jnp.dot(expand, sbias_ref[...].astype(mm_dtype),
                           preferred_element_type=jnp.float32)  # [RPC, S]
             outs = []
@@ -320,10 +323,11 @@ def encoder_text_stack(
         pl.BlockSpec((1, 2, d), c(0, 0)),
         pl.BlockSpec((1, bc, d, KV), lambda l, p: (l, a_chunk(l, p), 0, 0)),  # ck
         pl.BlockSpec((1, bc, KV, d), lambda l, p: (l, a_chunk(l, p), 0, 0)),  # cv
-        # per-item pad bias [BC, S]; expanded to query rows in-kernel via a
-        # one-hot matmul (see _attn) — the Mosaic broadcast-add crash
-        # workaround without the old materialized [B·S, S] operand
-        pl.BlockSpec((bc, S), lambda l, p: (a_chunk(l, p), 0)),               # sbias
+        # per-item pad bias [B, S], whole-array block fetched once; expanded
+        # to query rows in-kernel via a one-hot matmul (see _attn) — the
+        # Mosaic broadcast-add crash workaround without the old materialized
+        # [B·S, S] operand
+        pl.BlockSpec((B, S), lambda l, p: (0, 0)),                            # sbias
     ]
     out_specs = pl.BlockSpec(
         (rpc, d),

@@ -622,14 +622,28 @@ def mm_forward(
 ) -> dict[str, jax.Array]:
     """BartForMultiModalGeneration.forward (reference :1929-2021):
     multimodal encoder → vanilla decoder → tied lm_head + final_logits_bias."""
+    import os as _os
+
     rng_e = rng_d = None
     if dropout_rng is not None:
         rng_e, rng_d = jax.random.split(dropout_rng)
-    enc_out = mm_encoder_fwd(
+    # deterministic eval-mode forward (no dropout, no grads needed — the
+    # kernel has no VJP) uses the fused Pallas encoder on accelerator
+    # backends: the teacher-forced val loop gets the same speedup as
+    # generation (VERDICT r2 #4, eval-mode first)
+    use_fused = (
+        dropout_rng is None and not remat
+        and jax.default_backend() != "cpu"
+        and _os.environ.get("VACNIC_PALLAS_ENCODER", "1") == "1"
+        and fused_encoder_eligible(fcfg, cfg, add_ner_ffn, None)
+    )
+    enc_fwd = mm_encoder_fwd_fused if use_fused else mm_encoder_fwd
+    enc_kwargs = {} if use_fused else dict(dropout_rng=rng_e, remat=remat)
+    enc_out = enc_fwd(
         params, input_ids, attention_mask, image_features, cfg, fcfg,
         face_features=face_features, face_mask=face_mask,
         name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
-        dropout_rng=rng_e, dtype=dtype, remat=remat,
+        dtype=dtype, **enc_kwargs,
     )
     dec_out, _ = B.decoder_fwd(params, decoder_input_ids, enc_out["last_hidden"],
                                attention_mask, cfg, dropout_rng=rng_d, dtype=dtype, remat=remat)

@@ -354,6 +354,13 @@ def encoder_text_stack(
         sp.w_cq, sp.b_cq, sp.w_co, sp.b_co, sp.ln_c,
         sp.w_fc1, sp.b_fc1, sp.w_fc2, sp.b_fc2, sp.ln_f,
         cross_k.astype(in_dtype), cross_v.astype(in_dtype),
-        self_bias.astype(jnp.float32),
+        # CLAMP to bf16-finite: the callers build the pad bias from
+        # jnp.finfo(f32).min (-3.40282e38), which OVERFLOWS to -inf under
+        # the kernel's bf16 cast — and the one-hot expansion matmul then
+        # produces 0 * -inf = NaN for every unselected row (observed on-chip
+        # as instant-eos garbage decode, r3; interpret-mode tests run f32
+        # and cannot catch it)
+        jnp.maximum(self_bias.astype(jnp.float32),
+                    float(jnp.finfo(jnp.bfloat16).min)),
     )
     return out.reshape(B, S, d).astype(x0.dtype)

@@ -110,17 +110,29 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         return times
 
+    warm = make_run(batch)()
+    # SANITY: min_length forces ~full-length decode; a numerics regression
+    # (e.g. NaN logits admitting eos instantly) exits the beam loop early
+    # and would otherwise record a bogus 2-3x "speedup" (observed r3: a
+    # bf16-overflow NaN in the fused encoder read 312 cps with 4-token
+    # outputs). Refuse to report a headline number on short outputs.
+    nonpad = float((warm != cfg.bart.pad_token_id).sum(axis=1).mean())
+    sane = nonpad >= 0.9 * cfg.decode.max_length
     times = timed_reps(make_run(batch))
     runs_cps = [round(batch_size / t, 3) for t in times]
     cps = statistics.median(runs_cps)
 
     result = {
         "metric": "captions/sec/chip (BART-large full VACNIC, beam-5, len 50, lp 2.0)",
-        "value": cps,
+        "value": cps if sane else 0.0,
         "unit": "captions/sec/chip",
         "batch": batch_size,
         "runs": runs_cps,
-        "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+        "sanity": ("ok" if sane else
+                   f"FAIL: mean nonpad length {nonpad:.1f} < 0.9*max_length — "
+                   "numerics regression; raw cps withheld"),
+        "mean_decode_len": round(nonpad, 1),
+        "vs_baseline": round((cps if sane else 0.0) / REFERENCE_CAPTIONS_PER_SEC, 2),
         # the reference publishes no throughput; the denominator is a
         # documented ESTIMATE of its A100 batch-1 HF loop (BASELINE.md)
         "baseline_basis": f"estimated {REFERENCE_CAPTIONS_PER_SEC} "

@@ -355,8 +355,12 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
                 return n
         return 1
 
-    n_self = pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
-    n_cross = pick(max(1, b // 8), lambda n: True)
+    import os as _os0
+
+    n_self = int(_os0.environ.get(
+        "VACNIC_PLAN_NSELF", pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)))
+    n_cross = int(_os0.environ.get(
+        "VACNIC_PLAN_NCROSS", pick(max(1, b // 8), lambda n: True)))
     # Best measured per-batch configs on v5e (clean serial runs):
     #   b32  (bk 160): n_t=4, XLA LM head          -> ~88-91 cps
     #   b64  (bk 320): n_t=2, in-kernel LM n_lm=32 -> 107.4 cps

@@ -166,6 +166,34 @@ def test_beam_reorder_ancestry_parity(setup):
                        flat_sel, axis=0)[:, None]
 
 
+def test_gather_v2_matches_legacy(setup):
+    """The deep-K ancestry formulation (ChunkPlan.gather_v2, r3) must equal
+    the legacy batched one-hot gather — including after beam reorders."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    rng = np.random.RandomState(3)
+    legacy = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32,
+        plan=PLAN._replace(gather_v2=0), interpret=True))
+    v2 = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32,
+        plan=PLAN._replace(gather_v2=1), interpret=True))
+    c_a = c_b = cache_tm
+    tok = jnp.full((bk, 1), 2, jnp.int32)
+    for pos in range(5):
+        la, c_a = legacy(c_a, tok, jnp.int32(pos))
+        lb, c_b = v2(c_b, tok, jnp.int32(pos))
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   atol=2e-3, rtol=2e-3)
+        sel = np.arange(bk).reshape(BATCH, BEAMS)
+        sel = np.stack([g[rng.randint(0, BEAMS, BEAMS)] for g in sel]).reshape(-1)
+        flat_sel = jnp.asarray(sel, jnp.int32)
+        c_a = DF.reorder_anc(c_a, flat_sel)
+        c_b = DF.reorder_anc(c_b, flat_sel)
+        tok = jnp.take(jnp.argmax(la, axis=-1).astype(jnp.int32),
+                       flat_sel, axis=0)[:, None]
+
+
 def test_crosskv_int8_exact_when_representable(setup):
     """With cross K/V values that are exact int8 multiples of their scale,
     the int8 path must reproduce the bf16-path logits (the scale folds —

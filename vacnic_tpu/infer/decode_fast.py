@@ -394,6 +394,8 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
         n_lm=n_lm,
         vmem_mb=int(_os.environ.get("VACNIC_PLAN_VMEM",
                                     ChunkPlan._field_defaults["vmem_mb"])),
+        gather_v2=int(_os.environ.get("VACNIC_GATHER_V2",
+                                      ChunkPlan._field_defaults["gather_v2"])),
     )
 
 

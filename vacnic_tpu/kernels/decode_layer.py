@@ -70,6 +70,13 @@ class ChunkPlan(NamedTuple):
     n_ffn: int = 2    # fc1/fc2 column chunks
     vmem_mb: int = 121  # v5e VMEM is 128 MB; b128 needs ~118 of scoped stack
     n_t: int = 4      # time chunks per self row chunk (online softmax)
+    # Ancestry-gather formulation. 1 (default): deep-K per-head matmuls —
+    # raw per-head scores [TB·C', hd]·q_h with a masked ancestry reduce
+    # (K side) and a probability-weighted [C, TB·C']-deep value matmul via
+    # constant one-hot time expansion (V side). 0: legacy batched one-hot
+    # gathers ([TB, C, C']@[TB, C', D] — K=40-deep, MXU-hostile at b128;
+    # measured 1.21 ms/step of the model step there).
+    gather_v2: int = 1
     # In-kernel LM head: 0 = off (XLA computes the LM head from x_out —
     # MEASURED FASTER end-to-end: XLA fuses the tied matmul into the
     # log_softmax passes better than the kernel's extra grid iteration,
@@ -104,7 +111,9 @@ def _kernel(
     ln_f_ref,      # [1, 2, d] f32
     self_k_ref,    # [1, TB, BKC, D] bf16 (time-major, unreordered)
     self_v_ref,    # [1, TB, BKC, D] bf16
-    anc_ref,       # [TB, BKC, BKC] — ancestry one-hot for this (tchunk, chunk)
+    anc_ref,       # [TB, BKC, BKC] — ancestry one-hot (legacy gather; dummy if v2)
+    ancT_ref,      # [1, TB, BKC(r), BKC(c)] — transposed one-hot (v2; dummy else)
+    anc2_ref,      # [1, TB·BKC(t·r), BKC(c)] — row-major (t,r) one-hot (v2)
     cross_k_ref,   # [1, BC, H, hd, S] bf16 (or int8 when quant)
     cross_v_ref,   # [1, BC, H, hd, S] bf16 (or int8 when quant)
     ck_scale_ref,  # [1, BC, H, hd] f32 — int8 dequant scales (dummy if not quant)
@@ -217,31 +226,49 @@ def _kernel(
 
         @pl.when(tc <= last_tc)
         def _time_chunk():
-            # Beam-align the raw (never-reordered) cache rows with the
-            # ancestry one-hot: K_g[t, c, :] = K_raw[t, anc[t, c], :] as a
-            # batched matmul (batch dim = t; Mosaic allows exactly one).
-            anc = anc_ref[...].astype(mm_dtype)  # [TB, C, C']
-            if no_gather:
-                # PROFILING ONLY (wrong numerics): skip the beam-align
-                # matmuls to measure their cost in situ
-                gat = lambda ref: ref[0].astype(mm_dtype)
-            else:
-                gat = lambda ref: jax.lax.dot_general(
-                    anc, ref[0].astype(mm_dtype),
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32).astype(mm_dtype)
-            kg = gat(self_k_ref)  # [TB, C, D]
             qm = q_s[...]
+            gt = jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, H), 0) + tc * tb
             # Mosaic cannot store at a dynamic sublane index (bf16 packing),
             # so the new token is NOT in the cache; its score/value merge in
             # via masks. Cache row `pos` is exactly zero (zero-init; the
             # outer update writes rows only after the step), so its V-side
             # contribution is tracked separately in pap_s.
-            prod = qm[None, :, :] * kg  # [TB, C, D]
-            scores = jnp.dot(prod.reshape(tb * bkc, d), sel,
-                             preferred_element_type=jnp.float32
-                             ).reshape(tb, bkc, H)
-            gt = jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, H), 0) + tc * tb
+            use_v2 = plan.gather_v2 and not no_gather
+            if use_v2:
+                # ---- v2: deep-K formulation (no [TB,C,C']@[TB,C',D]
+                # 40-deep batched gathers). K side: per-head RAW scores
+                # S_raw[(t,r), c] = K_raw_h · q_h, beam-aligned by a masked
+                # reduce against the transposed ancestry one-hot. V side:
+                # contrib_h = (pm expanded over (t,r) ⊙ one-hot) ᵀ· V_raw_h —
+                # one K=TB·C'-deep matmul per head.
+                K2 = self_k_ref[0].reshape(tb * bkc, d)
+                ancT = ancT_ref[0].astype(jnp.float32)  # [TB, C'(r), C]
+                s_heads = []
+                for h in range(H):
+                    s_raw = jax.lax.dot_general(
+                        K2[:, h * hd:(h + 1) * hd].astype(mm_dtype),
+                        qm[:, h * hd:(h + 1) * hd],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [TB·C', C]
+                    s3 = s_raw.reshape(tb, bkc, bkc)  # [TB, C'(r), C]
+                    s_heads.append(jnp.sum(ancT * s3, axis=1))  # [TB, C]
+                scores = jnp.stack(s_heads, axis=-1)  # [TB, C, H]
+            else:
+                # legacy batched one-hot gather (batch dim = t)
+                anc = anc_ref[...].astype(mm_dtype)  # [TB, C, C']
+                if no_gather:
+                    # PROFILING ONLY (wrong numerics): measure gather cost
+                    gat = lambda ref: ref[0].astype(mm_dtype)
+                else:
+                    gat = lambda ref: jax.lax.dot_general(
+                        anc, ref[0].astype(mm_dtype),
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32).astype(mm_dtype)
+                kg = gat(self_k_ref)  # [TB, C, D]
+                prod = qm[None, :, :] * kg  # [TB, C, D]
+                scores = jnp.dot(prod.reshape(tb * bkc, d), sel,
+                                 preferred_element_type=jnp.float32
+                                 ).reshape(tb, bkc, H)
             scores = jnp.where(gt == pos, snew_s[...][None, :, :],
                                jnp.where(gt < pos, scores, -jnp.inf))
             # online softmax (exact): rescale running stats to the new max
@@ -250,19 +277,45 @@ def _kernel(
             pm = jnp.exp(scores - m_new[None, :, :])  # [TB, C, H]
             l_s[...] = alpha * l_s[...] + jnp.sum(pm, axis=0)
             m_s[...] = m_new
-            p_exp = jnp.dot(pm.reshape(tb * bkc, H).astype(mm_dtype), sel.T,
-                            preferred_element_type=jnp.float32
-                            ).astype(mm_dtype).reshape(tb, bkc, d)
-            vg = gat(self_v_ref)
             alpha_d = jnp.dot(alpha.astype(mm_dtype), sel.T,
                               preferred_element_type=jnp.float32)  # [C, d]
-            contrib = jnp.sum(p_exp.astype(jnp.float32) * vg.astype(jnp.float32),
+            if use_v2:
+                V2 = self_v_ref[0].reshape(tb * bkc, d)
+                anc2 = anc2_ref[0].astype(mm_dtype)  # [TB·C', C]
+                # constant time-expansion one-hot: row (t·C'+r) → t
+                rr = jax.lax.broadcasted_iota(jnp.int32, (tb * bkc, tb), 0)
+                tt = jax.lax.broadcasted_iota(jnp.int32, (tb * bkc, tb), 1)
+                r2 = (rr // bkc == tt).astype(mm_dtype)
+                outs = []
+                for h in range(H):
+                    pm_h = pm[:, :, h].astype(mm_dtype)  # [TB, C]
+                    pm_exp = jnp.dot(r2, pm_h,
+                                     preferred_element_type=jnp.float32
+                                     ).astype(mm_dtype)  # [TB·C', C]
+                    pw = pm_exp * anc2
+                    outs.append(jax.lax.dot_general(
+                        pw, V2[:, h * hd:(h + 1) * hd].astype(mm_dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))  # [C, hd]
+                contrib = jnp.concatenate(outs, axis=-1)  # [C, D]
+                att_s[...] = alpha_d * att_s[...] + contrib
+                pap = jnp.dot(
+                    jnp.sum(jnp.where(gt == pos, pm, 0.0), axis=0
+                            ).astype(mm_dtype), sel.T,
+                    preferred_element_type=jnp.float32)  # [C, d]
+                pap_s[...] = alpha_d * pap_s[...] + pap
+            else:
+                p_exp = jnp.dot(pm.reshape(tb * bkc, H).astype(mm_dtype), sel.T,
+                                preferred_element_type=jnp.float32
+                                ).astype(mm_dtype).reshape(tb, bkc, d)
+                vg = gat(self_v_ref)
+                contrib = jnp.sum(p_exp.astype(jnp.float32) * vg.astype(jnp.float32),
+                                  axis=0)
+                att_s[...] = alpha_d * att_s[...] + contrib
+                gt_d = jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, d), 0) + tc * tb
+                pap = jnp.sum(jnp.where(gt_d == pos, p_exp.astype(jnp.float32), 0.0),
                               axis=0)
-            att_s[...] = alpha_d * att_s[...] + contrib
-            gt_d = jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, d), 0) + tc * tb
-            pap = jnp.sum(jnp.where(gt_d == pos, p_exp.astype(jnp.float32), 0.0),
-                          axis=0)
-            pap_s[...] = alpha_d * pap_s[...] + pap
+                pap_s[...] = alpha_d * pap_s[...] + pap
 
         @pl.when(tc == last_tc)
         def _finish_chunk():
@@ -431,6 +484,20 @@ def decode_stack(
         # never read by the kernel (same pattern as the LM-head dummies)
         cross_k_scale = jnp.zeros((1, 1, 1, hd), jnp.float32)
         cross_v_scale = jnp.zeros((1, 1, 1, hd), jnp.float32)
+    bkc_ = bk // plan.n_self
+    if plan.gather_v2:
+        # derived ancestry layouts for the deep-K formulation (cheap XLA
+        # transposes of the 3.3 MB one-hot); the legacy anc input becomes a
+        # dummy. Chunk-leading axes keep the BLOCK's last two dims full
+        # (Mosaic requires 8/128-mult or whole-dim blocks).
+        a4 = anc_hot.reshape(T, plan.n_self, bkc_, bkc_)  # [T, chunk, C, C']
+        ancT = a4.transpose(1, 0, 3, 2)                   # [chunk, T, C', C]
+        anc2 = ancT.reshape(plan.n_self, T * bkc_, bkc_)  # [chunk, (t,r), C]
+        anc_in = jnp.zeros((1, 1, 128), anc_hot.dtype)
+    else:
+        ancT = jnp.zeros((1, 1, 8, 128), anc_hot.dtype)
+        anc2 = jnp.zeros((1, 8, 128), anc_hot.dtype)
+        anc_in = anc_hot
     assert bk % plan.n_self == 0 and B % plan.n_cross == 0 and T % n_t == 0
     # row chunks must hold whole beam groups: ancestry stays chunk-local
     assert bkc % beams == 0 and anc_hot.shape == (T, bk, bkc)
@@ -496,7 +563,19 @@ def decode_stack(
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_k
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_v
-        pl.BlockSpec((tb, bkc, bkc), anc_idx),                               # anc_hot
+        (pl.BlockSpec((1, 1, 128), lambda l, p, pos_ref: (0, 0, 0))
+         if plan.gather_v2 else
+         pl.BlockSpec((tb, bkc, bkc), anc_idx)),                             # anc_hot
+        (pl.BlockSpec((1, tb, bkc, bkc),
+                      lambda l, p, pos_ref: (self_chunk(l, p, pos_ref),
+                                             self_tc(l, p, pos_ref), 0, 0))
+         if plan.gather_v2 else
+         pl.BlockSpec((1, 1, 8, 128), lambda l, p, pos_ref: (0, 0, 0, 0))),  # ancT
+        (pl.BlockSpec((1, tb * bkc, bkc),
+                      lambda l, p, pos_ref: (self_chunk(l, p, pos_ref),
+                                             self_tc(l, p, pos_ref), 0))
+         if plan.gather_v2 else
+         pl.BlockSpec((1, 8, 128), lambda l, p, pos_ref: (0, 0, 0))),        # anc2
         pl.BlockSpec((1, bc, H, hd, S),
                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1), cross_j(l, p, pos_ref), 0, 0, 0)),
         pl.BlockSpec((1, bc, H, hd, S),
@@ -568,7 +647,7 @@ def decode_stack(
         dp.b_cross_out[:, None, :], dp.ln_cross,
         dp.w_fc1, dp.b_fc1[:, None, :], dp.w_fc2, dp.b_fc2[:, None, :],
         dp.ln_final,
-        self_k, self_v, anc_hot, cross_k, cross_v,
+        self_k, self_v, anc_in, ancT, anc2, cross_k, cross_v,
         cross_k_scale, cross_v_scale, enc_bias, w_lm, b_lm,
     )
     return logits, x_out, k_new, v_new

@@ -70,13 +70,14 @@ class ChunkPlan(NamedTuple):
     n_ffn: int = 2    # fc1/fc2 column chunks
     vmem_mb: int = 121  # v5e VMEM is 128 MB; b128 needs ~118 of scoped stack
     n_t: int = 4      # time chunks per self row chunk (online softmax)
-    # Ancestry-gather formulation. 1 (default): deep-K per-head matmuls —
-    # raw per-head scores [TB·C', hd]·q_h with a masked ancestry reduce
-    # (K side) and a probability-weighted [C, TB·C']-deep value matmul via
-    # constant one-hot time expansion (V side). 0: legacy batched one-hot
-    # gathers ([TB, C, C']@[TB, C', D] — K=40-deep, MXU-hostile at b128;
-    # measured 1.21 ms/step of the model step there).
-    gather_v2: int = 1
+    # Ancestry-gather formulation. 0 (default): batched one-hot gathers
+    # ([TB, C, C']@[TB, C', D]). 1: deep-K per-head matmuls — raw per-head
+    # scores with a masked ancestry reduce (K side) and probability-weighted
+    # deep value matmuls (V side). MEASURED (r3, b128 ns16 nt4 int8):
+    # v2 = 13.59 ms/step vs legacy 8.86 — the 48 small per-head dots lose
+    # to 4 big batched ops despite better contraction depth; same lesson as
+    # the encoder's block-diag cross probe. Kept as tested inventory.
+    gather_v2: int = 0
     # In-kernel LM head: 0 = off (XLA computes the LM head from x_out —
     # MEASURED FASTER end-to-end: XLA fuses the tied matmul into the
     # log_softmax passes better than the kernel's extra grid iteration,

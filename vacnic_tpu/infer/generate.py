@@ -224,9 +224,14 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
     plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
     # the auto plan enables n_lm only where it is known-stable; try the
     # in-kernel head wherever it measured faster (bk >= ~320) unless the
-    # sweep override pinned a value
+    # sweep override pinned a value. bkc (rows per self chunk) must stay in
+    # the proven-fit regime: at bkc=80 the n_lm=32 program COMPILES but
+    # spills (20.1 vs 8.0 ms/step measured r3) — a compile-probe cannot
+    # catch compile-success-but-slow, so gate on the known-good shape.
+    bkc = bsz * k // plan.n_self
     want_lm = plan.n_lm if plan.n_lm > 0 else (
-        32 if bsz * k >= 320 and "VACNIC_PLAN_NLM" not in _os.environ else 0)
+        32 if bsz * k >= 320 and bkc <= 48
+        and "VACNIC_PLAN_NLM" not in _os.environ else 0)
     key = _plan_probe_key(bsz, dcfg, cfg)
     if want_lm > 0 and _LM_PLAN_OK.get(key, True):
         try:

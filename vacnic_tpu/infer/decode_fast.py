@@ -357,8 +357,14 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
 
     import os as _os0
 
-    n_self = int(_os0.environ.get(
-        "VACNIC_PLAN_NSELF", pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)))
+    # r3 sweep at b128 (bk 640, int8+nt4): n_self=8 (bkc=80) = 7.96 ms
+    # model step vs 8.86 at 16 and 15.5 at 4 — bigger row chunks halve the
+    # phase count and double the gather depth; end-to-end 141.3 cps vs
+    # 133.3. (bkc=80 disqualifies the in-kernel LM head — see
+    # generate_mm_robust's bkc gate.)
+    ns_default = pick(max(1, bk // 80), lambda n: (bk // n) % 8 == 0) \
+        if bk >= 640 else pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
+    n_self = int(_os0.environ.get("VACNIC_PLAN_NSELF", ns_default))
     n_cross = int(_os0.environ.get(
         "VACNIC_PLAN_NCROSS", pick(max(1, b // 8), lambda n: True)))
     # Best measured per-batch configs on v5e (clean serial runs):

@@ -301,3 +301,45 @@ def test_generate_mm_pallas_flag_token_parity(monkeypatch):
     pal_seqs, pal_scores = run()
     np.testing.assert_array_equal(pal_seqs, ref_seqs)
     np.testing.assert_allclose(pal_scores, ref_scores, rtol=2e-3, atol=2e-3)
+
+
+def test_padded_beam_groups_token_parity(monkeypatch):
+    """Shapes with no legal kernel plan (batch 1 × beam 5) run with padded
+    beam groups (kp=8 rows per item): tokens must match the XLA path
+    exactly — dummy rows are sliced off and never selected."""
+    import dataclasses
+
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.infer import decode_fast as DFm
+    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    cfg = VacnicConfig.tiny()
+    key = jax.random.PRNGKey(1)
+    params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
+    batch = synthetic_batch(cfg, batch_size=1, seed=1)
+    dcfg = dataclasses.replace(cfg.decode, num_beams=5, max_length=8)
+
+    def run():
+        seqs, scores = generate_mm(
+            params, batch["article_ids"], create_mask(batch["article_ids"]),
+            batch["image_cls"], cfg.bart, cfg.fusion, dcfg,
+            face_features=batch["face_emb"],
+            face_mask=face_mask_from_emb(batch["face_emb"]),
+            name_ids=batch["names_art_ids"],
+            name_mask=create_mask(batch["names_art_ids"]),
+        )
+        return np.asarray(seqs), np.asarray(scores)
+
+    monkeypatch.delenv("VACNIC_PALLAS_DECODE", raising=False)
+    ref_seqs, ref_scores = run()
+    # force the padding decision on CPU: base plan "illegal", kp=8 legal
+    monkeypatch.setenv("VACNIC_PALLAS_DECODE", "1")
+    monkeypatch.setattr(DFm, "pallas_plan_exists", lambda b, k: k % 8 == 0)
+    jax.clear_caches()
+    assert DFm.padded_beams(1, 5) == 8
+    pal_seqs, pal_scores = run()
+    np.testing.assert_array_equal(pal_seqs, ref_seqs)
+    np.testing.assert_allclose(pal_scores, ref_scores, rtol=2e-3, atol=2e-3)

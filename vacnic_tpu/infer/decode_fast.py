@@ -101,6 +101,20 @@ def pallas_plan_exists(b: int, beams: int) -> bool:
                for n in (max(1, bk // 40), 8, 4, 2, 1))
 
 
+def padded_beams(b: int, beams: int) -> int | None:
+    """Beam-group row padding that makes the fused kernel legal for small /
+    odd shapes (e.g. batch 1 × beam 5 → groups of 8): the smallest kp >= k
+    with a legal plan. The dummy rows decode garbage that is sliced off
+    before the beam logic and never selected by the ancestry (b1 latency:
+    the XLA fallback measured ~103 ms/caption; the padded kernel path is the
+    same program the batch bench runs). None if no padding helps."""
+    kp8 = -(-beams // 8) * 8
+    for kp in (kp8, kp8 + 8):
+        if kp > beams and pallas_plan_exists(b, kp):
+            return kp
+    return None
+
+
 def reorder_anc(cache: DecodeCache, flat_sel: jax.Array) -> DecodeCache:
     """Beam 'reorder' for the pallas path: compose the ancestry with the beam
     selection instead of gathering cache data. Rows after `pos` reset to

@@ -49,10 +49,17 @@ def _decode_from_encoder(
     else:
         use_pallas = env == "1"
     # the kernel needs a Mosaic-legal chunking (8-aligned row chunks holding
-    # whole beam groups); odd batches — e.g. a loader's tail — fall back to
-    # the XLA step rather than fail to compile
+    # whole beam groups); shapes with no legal plan (batch 1 × beam 5, odd
+    # loader tails) run with PADDED beam groups (kp rows per item, the
+    # dummies sliced off before the beam logic) — only if no padding works
+    # either does the XLA step take over
+    kp = k
     if use_pallas and not DF.pallas_plan_exists(bsz, k):
-        use_pallas = False
+        kp_cand = DF.padded_beams(bsz, k)
+        if kp_cand is None:
+            use_pallas = False
+        else:
+            kp = kp_cand
     pad_to = 16 if use_pallas else int(os.environ.get("VACNIC_CACHE_PAD", 1))
     plan = None
     if use_pallas:
@@ -61,7 +68,7 @@ def _decode_from_encoder(
         else:
             t_max = -(-dcfg.max_length // pad_to) * pad_to
             ffn_cols = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
-            plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
+            plan = DF.choose_plan(bsz * kp, bsz, t_max, ffn_cols)
     # the padded-vocab LM head duplicate (~104 MB bf16) is only materialized
     # when the in-kernel LM head is actually selected
     dp = DF.build_decode_params(params, dtype,
@@ -81,12 +88,22 @@ def _decode_from_encoder(
     cross_int8 = use_pallas and os.environ.get("VACNIC_CROSSKV_INT8",
                                                int8_default) == "1"
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
-    cache = DF.build_decode_cache(params, enc_hidden, k, dcfg.max_length, cfg, dtype,
+    cache = DF.build_decode_cache(params, enc_hidden, kp, dcfg.max_length, cfg, dtype,
                                   pad_to=pad_to, time_major=use_pallas,
                                   cross_kv_int8=cross_int8)
     enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
-    if use_pallas:
+    if use_pallas and kp != k:
+        # padded beam groups: expand tok rows k→kp per item for the kernel,
+        # slice the dummy rows' logits off before the beam logic
+        def step_fn(tok, cache, pos):
+            tok8 = jnp.pad(tok.reshape(bsz, k), ((0, 0), (0, kp - k))
+                           ).reshape(bsz * kp, 1)
+            logits8, cache = DF.decode_step_pallas(dp, params, cache, tok8, pos,
+                                                   enc_bias, cfg, dtype, plan=plan)
+            logits = logits8.reshape(bsz, kp, -1)[:, :k].reshape(bsz * k, -1)
+            return logits, cache
+    elif use_pallas:
         def step_fn(tok, cache, pos):
             return DF.decode_step_pallas(dp, params, cache, tok, pos, enc_bias,
                                          cfg, dtype, plan=plan)
@@ -98,6 +115,15 @@ def _decode_from_encoder(
         # Pallas path: beam select recomposes the [T, BK] ancestry matrix —
         # the raw self cache is write-once per row and never gathered.
         if cache.anc is not None:
+            if kp != k:
+                # map the k-space selection into the kp-padded row space;
+                # dummy rows select themselves (identity)
+                item = jnp.arange(bsz * k, dtype=flat_sel.dtype) // k
+                sel_p = item * kp + (flat_sel - item * k)  # [b·k]
+                base = jnp.arange(bsz * kp, dtype=flat_sel.dtype)
+                j8 = base % kp
+                gather_idx = jnp.clip(base // kp * k + j8, 0, bsz * k - 1)
+                flat_sel = jnp.where(j8 < k, jnp.take(sel_p, gather_idx), base)
             return DF.reorder_anc(cache, flat_sel)
         # XLA path: stacked-layer cache, one gather per tensor on the
         # batch·beam axis; cross K/V is beam-invariant (HF `_reorder_cache`

@@ -336,7 +336,9 @@ def test_padded_beam_groups_token_parity(monkeypatch):
     monkeypatch.delenv("VACNIC_PALLAS_DECODE", raising=False)
     ref_seqs, ref_scores = run()
     # force the padding decision on CPU: base plan "illegal", kp=8 legal
+    # (padded groups are opt-in since the b1 A/B — batch26.log)
     monkeypatch.setenv("VACNIC_PALLAS_DECODE", "1")
+    monkeypatch.setenv("VACNIC_PAD_BEAMGROUPS", "1")
     monkeypatch.setattr(DFm, "pallas_plan_exists", lambda b, k: k % 8 == 0)
     jax.clear_caches()
     assert DFm.padded_beams(1, 5) == 8

@@ -105,9 +105,11 @@ def padded_beams(b: int, beams: int) -> int | None:
     """Beam-group row padding that makes the fused kernel legal for small /
     odd shapes (e.g. batch 1 × beam 5 → groups of 8): the smallest kp >= k
     with a legal plan. The dummy rows decode garbage that is sliced off
-    before the beam logic and never selected by the ancestry (b1 latency:
-    the XLA fallback measured ~103 ms/caption; the padded kernel path is the
-    same program the batch bench runs). None if no padding helps."""
+    before the beam logic and never selected by the ancestry. MEASURED at
+    b1 beam-5 this path LOSES to the XLA step (8.7 vs 11.0 cps,
+    scripts/logs_r3/batch26.log) — bk=8 rows are overhead-bound and the 5→8
+    pad is 60% dead compute — so it is opt-in (VACNIC_PAD_BEAMGROUPS=1).
+    None if no padding helps."""
     kp8 = -(-beams // 8) * 8
     for kp in (kp8, kp8 + 8):
         if kp > beams and pallas_plan_exists(b, kp):

@@ -50,12 +50,16 @@ def _decode_from_encoder(
         use_pallas = env == "1"
     # the kernel needs a Mosaic-legal chunking (8-aligned row chunks holding
     # whole beam groups); shapes with no legal plan (batch 1 × beam 5, odd
-    # loader tails) run with PADDED beam groups (kp rows per item, the
-    # dummies sliced off before the beam logic) — only if no padding works
-    # either does the XLA step take over
+    # loader tails) default to the XLA step — MEASURED at b1 beam-5 the
+    # padded-beam-group kernel path reads 8.7 cps vs 11.0 for the XLA step
+    # (scripts/logs_r3/batch26.log: bk=8 rows leave the kernel overhead-bound
+    # and the 5→8 padding adds 60% dead compute). VACNIC_PAD_BEAMGROUPS=1
+    # opts back into the padded kernel path (kp rows per item, the dummies
+    # sliced off before the beam logic).
     kp = k
     if use_pallas and not DF.pallas_plan_exists(bsz, k):
-        kp_cand = DF.padded_beams(bsz, k)
+        kp_cand = (DF.padded_beams(bsz, k)
+                   if os.environ.get("VACNIC_PAD_BEAMGROUPS") == "1" else None)
         if kp_cand is None:
             use_pallas = False
         else:

@@ -46,7 +46,12 @@ def main():
     cv = r(L, B, KV, D)
     sbias = jnp.zeros((B, S), jnp.float32)
     cbias = jnp.zeros((B, KV), jnp.float32)
-    plan = EncPlan(parts=parts)
+    plan = EncPlan(
+        parts=parts,
+        n_self=int(os.environ.get("ENC_NSELF", EncPlan().n_self)),
+        vmem_mb=int(os.environ.get("ENC_VMEM", EncPlan().vmem_mb)),
+        fuse_ffn=bool(int(os.environ.get("ENC_FUSE", "0"))),
+    )
 
     fn = jax.jit(lambda sp, x0, ck, cv, sb, cb: encoder_text_stack(
         sp, x0, ck, cv, sb, cb, cfg, plan=plan)[:, 0, :8])

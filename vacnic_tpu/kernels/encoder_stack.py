@@ -66,9 +66,17 @@ class EncPlan(NamedTuple):
     # debug bisect switch: comma-set of {"self", "cross", "ffn"} to compile
     # only some sub-blocks (results are wrong unless all are on)
     parts: str = "self,cross,ffn"
+    # merged phases: run self+cross+FFN for a batch chunk in ONE grid step
+    # (full-width FFN blocks; n_ffn forced to 1). Halves the grid-step count
+    # (384 -> 192 at b32/L12) — the r3 bisect attributed ~30 ms of the 90 ms
+    # kernel to phase-count-proportional overhead (~80 us/step), so fewer,
+    # fatter phases is the lever.
+    fuse_ffn: bool = False
 
     @property
     def phases(self) -> int:
+        if self.fuse_ffn:
+            return self.n_self
         return self.n_self + self.n_self * self.n_ffn
 
 
@@ -219,7 +227,31 @@ def _kernel(
             o2 = (jnp.dot(o2, w_co_ref[0].astype(mm_dtype),
                           preferred_element_type=jnp.float32) + b_co_ref[0, 0][None, :])
             x2 = ln(ln_c_ref, x1 + o2)
-        x_s[rows, :] = x2.astype(x_s.dtype)
+
+        if plan.fuse_ffn:
+            # merged phase: FFN inline on this chunk (full-width fc blocks).
+            # The attention temps (qkv/scores/probs) are dead by here, so the
+            # VMEM peak is max(attn, ffn) + resident x_s + weights — the same
+            # weight blocks were already fetched during attention phases in
+            # the split layout, so fusing adds no fetch pressure.
+            x3 = x2
+            if do_ffn:
+                h = act(jnp.dot(x2.astype(mm_dtype), w_fc1_ref[0].astype(mm_dtype),
+                                preferred_element_type=jnp.float32)
+                        + b_fc1_ref[0, 0][None, :]).astype(mm_dtype)
+                delta = jnp.dot(h, w_fc2_ref[0].astype(mm_dtype),
+                                preferred_element_type=jnp.float32)
+                x3 = ln(ln_f_ref, x2 + delta + b_fc2_ref[0, 0][None, :])
+            x_s[rows, :] = x3.astype(x_s.dtype)
+
+            @pl.when(l == n_layers - 1)
+            def _emit_m():
+                x_out_ref[...] = x3.astype(x_out_ref.dtype)
+        else:
+            x_s[rows, :] = x2.astype(x_s.dtype)
+
+    if plan.fuse_ffn:
+        return
 
     # ------------- FFN phases: (row chunk) × (fc column chunk) --------------
     @pl.when(p >= ns)
@@ -279,7 +311,7 @@ def encoder_text_stack(
     if B % plan.n_self:
         n = next(n for n in range(min(plan.n_self, B), 0, -1) if B % n == 0)
         plan = plan._replace(n_self=n)
-    if F % plan.n_ffn:
+    if F % plan.n_ffn or plan.fuse_ffn:
         plan = plan._replace(n_ffn=1)
     ns, nf = plan.n_self, plan.n_ffn
     bc = B // ns
@@ -329,9 +361,10 @@ def encoder_text_stack(
         # [B·S, S] operand
         pl.BlockSpec((B, S), lambda l, p: (0, 0)),                            # sbias
     ]
+    out_row = a_chunk if plan.fuse_ffn else f_row
     out_specs = pl.BlockSpec(
         (rpc, d),
-        lambda l, p: (jnp.where(l == L - 1, f_row(l, p), 0), 0))
+        lambda l, p: (jnp.where(l == L - 1, out_row(l, p), 0), 0))
     kernel = functools.partial(
         _kernel, plan=plan, n_layers=L, batch=B, seq=S, heads=H, hd=hd,
         act_name=cfg.activation_function, mm_dtype=mm_dtype)
@@ -343,7 +376,9 @@ def encoder_text_stack(
         out_shape=jax.ShapeDtypeStruct((B * S, d), in_dtype),
         scratch_shapes=[
             pltpu.VMEM((B * S, d), in_dtype),
-            pltpu.VMEM((rpc, d), jnp.float32),
+            # FFN column accumulator — unused in merged mode (keep a tiny
+            # placeholder so the kernel signature is static)
+            pltpu.VMEM((8, 128) if plan.fuse_ffn else (rpc, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=plan.vmem_mb * 1024 * 1024),

@@ -405,6 +405,7 @@ def _enc_plan_from_env():
         n_self=int(_os.environ.get("ENC_NSELF", base.n_self)),
         n_ffn=int(_os.environ.get("ENC_NFFN", base.n_ffn)),
         vmem_mb=int(_os.environ.get("ENC_VMEM", base.vmem_mb)),
+        fuse_ffn=bool(int(_os.environ.get("ENC_FUSE", int(base.fuse_ffn)))),
     )
 
 

@@ -36,6 +36,15 @@ def main() -> None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, grad_checkpoint=False)
         )
+    # A/B knobs for dropout-mask cost: BENCH_PRNG=rbg swaps the threefry
+    # PRNG for the TPU-cheap rbg generator (mask quality is irrelevant for
+    # dropout); BENCH_DROPOUT=0 disables dropout entirely (upper bound)
+    if os.environ.get("BENCH_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+    if os.environ.get("BENCH_DROPOUT") is not None:
+        cfg = dataclasses.replace(
+            cfg, bart=dataclasses.replace(
+                cfg.bart, dropout=float(os.environ["BENCH_DROPOUT"])))
     key = set_random_seed(0)
     params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
     # frozen CoLaM teacher in bf16 (no gradients through it); Adam mu in bf16 —

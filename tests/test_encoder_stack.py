@@ -90,3 +90,26 @@ def test_fused_encoder_batch_slicing(setup):
                                     max_kernel_batch=2, **kwargs)
     np.testing.assert_allclose(np.asarray(sliced["last_hidden"]),
                                np.asarray(one["last_hidden"]), atol=2e-4, rtol=2e-4)
+
+
+def test_fused_encoder_merged_phases_parity(setup, monkeypatch):
+    """fuse_ffn=True (self+cross+FFN in one grid phase) must match the XLA
+    encoder exactly like the split-phase layout does."""
+    cfg, params, batch = setup
+    src = batch["article_ids"]
+    kwargs = {}
+    if not cfg.fusion.only_image:
+        kwargs = dict(
+            face_features=batch["face_emb"],
+            face_mask=face_mask_from_emb(batch["face_emb"]),
+            name_ids=batch["names_art_ids"],
+            name_mask=create_mask(batch["names_art_ids"]),
+        )
+    monkeypatch.setenv("ENC_FUSE", "1")
+    ref = F.mm_encoder_fwd(params, src, create_mask(src), batch["image_cls"],
+                           cfg.bart, cfg.fusion, **kwargs)
+    fused = F.mm_encoder_fwd_fused(params, src, create_mask(src), batch["image_cls"],
+                                   cfg.bart, cfg.fusion, interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(fused["last_hidden"]),
+                               np.asarray(ref["last_hidden"]),
+                               atol=2e-4, rtol=2e-4)

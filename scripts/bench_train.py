@@ -62,11 +62,30 @@ def main() -> None:
                                 (batch_size, cfg.bart.d_model), jnp.float32)
         batch["teacher_pooled"] = vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
 
+    # attribution knobs (train-budget table, mirrors profile_decode_b128):
+    # BENCH_TXT_ONLY=1 drops the aux losses (CoLaM margin, SECLA) to isolate
+    # their fwd+bwd cost; BENCH_FWD_ONLY=1 times compute_losses without
+    # value_and_grad/optimizer — the fwd vs bwd split.
+    if os.environ.get("BENCH_TXT_ONLY"):
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, alpha=0.0, no_mapping=True))
+
     nu_dtype = jnp.bfloat16 if os.environ.get("BENCH_NU_BF16") else None
     init_fn, step_fn = make_train_step(cfg, num_training_steps=1000,
                                        mu_dtype=jnp.bfloat16, nu_dtype=nu_dtype)
     state = init_fn(params, teacher, jax.random.fold_in(key, 2))
-    step = jax.jit(step_fn, donate_argnums=0)
+    if os.environ.get("BENCH_FWD_ONLY"):
+        from vacnic_tpu.train.train_step import compute_losses
+
+        def fwd_step(state, batch):
+            rng, dropout_rng = jax.random.split(state.rng)
+            loss, metrics = compute_losses(state.params, state.teacher, batch,
+                                           cfg, dropout_rng)
+            return state._replace(rng=rng), metrics
+
+        step = jax.jit(fwd_step, donate_argnums=0)
+    else:
+        step = jax.jit(step_fn, donate_argnums=0)
 
     state, m = step(state, batch)
     _ = float(np.asarray(m["loss"]))  # force completion (tunnel-safe barrier)
@@ -82,7 +101,9 @@ def main() -> None:
                 "metric": (
                     f"train samples/sec/chip (full VACNIC BART-large, batch {batch_size}, "
                     f"SECLA+CoLaM{' teacher-cached' if cached_teacher else ''}, "
-                    f"remat={'on' if cfg.train.grad_checkpoint else 'off'})"
+                    f"remat={'on' if cfg.train.grad_checkpoint else 'off'}"
+                    f"{', txt-only' if os.environ.get('BENCH_TXT_ONLY') else ''}"
+                    f"{', fwd-only' if os.environ.get('BENCH_FWD_ONLY') else ''})"
                 ),
                 "value": round(batch_size / dt, 2),
                 "unit": "samples/sec/chip",

@@ -180,3 +180,33 @@ def test_teacher_pooled_cache_matches_teacher_forward():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(float(m1["margin_loss"]), float(m2["margin_loss"]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_rbg_prng_train_step():
+    """TrainConfig.prng_impl="rbg" (TPU-hardware RNG for dropout masks) must
+    run a full train step with finite decreasing loss. Process-global default
+    impl is restored afterwards so other tests keep threefry."""
+    import jax
+
+    from vacnic_tpu.train.train_step import make_train_step
+
+    cfg = VacnicConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, prng_impl="rbg"))
+    try:
+        key = set_random_seed(cfg.train.seed, cfg.train.prng_impl)
+        assert key.shape == (4,)  # rbg key
+        params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
+        teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
+        init_fn, step_fn = make_train_step(cfg, 10)
+        state = init_fn(params, teacher, jax.random.fold_in(key, 2))
+        batch = synthetic_batch(cfg, 4)
+        step = jax.jit(step_fn)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch)
+            losses.append(float(np.asarray(m["loss"])))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")

@@ -186,7 +186,7 @@ def cmd_train(args) -> int:
 
     cfg = _build_config(args)
     os.makedirs(args.out_dir, exist_ok=True)
-    key = set_random_seed(cfg.train.seed)
+    key = set_random_seed(cfg.train.seed, cfg.train.prng_impl)
 
     tokenizer = BartBpeTokenizer(args.vocab, args.merges)
     tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])

@@ -219,6 +219,12 @@ class TrainConfig:
     # deterministic — numerics-identical; saves its full BART forward per step
     # for epochs >= 2; train/loop.py + losses.colam_margin_from_pooled).
     teacher_cache: bool = False
+    # JAX PRNG implementation for the training key tree ("threefry2x32" or
+    # "rbg"). Dropout-mask generation with the default threefry is pure VPU
+    # work recomputed under remat; "rbg" uses the TPU's hardware RNG path —
+    # statistically fine for dropout, not bit-reproducible across backends.
+    # (The reference's torch RNG stream has no parity claim either way.)
+    prng_impl: str = "threefry2x32"
 
 
 @dataclass(frozen=True)

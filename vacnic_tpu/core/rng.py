@@ -10,10 +10,19 @@ import jax
 import numpy as np
 
 
-def set_random_seed(seed: int) -> jax.Array:
-    """Seed python/numpy and return the root JAX PRNG key."""
+def set_random_seed(seed: int, impl: str | None = None) -> jax.Array:
+    """Seed python/numpy and return the root JAX PRNG key.
+
+    impl selects the JAX PRNG implementation ("threefry2x32" default;
+    "rbg" maps dropout-mask generation onto the TPU hardware RNG path —
+    see TrainConfig.prng_impl)."""
     random.seed(seed)
     np.random.seed(seed % (2**32))
+    if impl and impl != "threefry2x32":
+        # process-wide default so raw (untyped) keys re-wrap with the same
+        # impl across split/fold_in (typed keys would complicate orbax
+        # checkpointing of TrainState.rng)
+        jax.config.update("jax_default_prng_impl", impl)
     return jax.random.PRNGKey(seed)
 
 

@@ -36,11 +36,14 @@ def main() -> None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, grad_checkpoint=False)
         )
-    # A/B knobs for dropout-mask cost: BENCH_PRNG=rbg swaps the threefry
-    # PRNG for the TPU-cheap rbg generator (mask quality is irrelevant for
-    # dropout); BENCH_DROPOUT=0 disables dropout entirely (upper bound)
-    if os.environ.get("BENCH_PRNG"):
-        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+    # A/B knobs for dropout-mask cost: BENCH_PRNG overrides the PRNG impl
+    # (default = TrainConfig.prng_impl, measured-best rbg; BENCH_PRNG=
+    # threefry2x32 restores the old path); BENCH_DROPOUT=0 disables dropout
+    # entirely (upper bound). Measured b64 teacher-cached: threefry 60.37,
+    # rbg 66.91, no-dropout 72.8 samples/s (same window).
+    impl = os.environ.get("BENCH_PRNG", cfg.train.prng_impl)
+    if impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", impl)
     if os.environ.get("BENCH_DROPOUT") is not None:
         cfg = dataclasses.replace(
             cfg, bart=dataclasses.replace(

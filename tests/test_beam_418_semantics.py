@@ -201,3 +201,20 @@ def test_chunked_top_k_matches_single_call():
         np.testing.assert_array_equal(
             np.take_along_axis(np.asarray(x), np.asarray(i_chk), axis=1),
             np.asarray(s_ref))
+
+
+def test_chunked_top_k_banned_rows_below_neg_inf():
+    """Rows where every candidate sits BELOW NEG_INF (banned_total =
+    running_score + NEG_INF at a forced-token step) must still return
+    in-range indices — the chunk padding has to rank below banned values,
+    not at NEG_INF (regression: pad leaked out-of-range flat indices)."""
+    from vacnic_tpu.infer.beam_search import NEG_INF, chunked_top_k
+
+    n, chunk = 10000, 4096  # pad = 2288 dead lanes
+    x = jnp.full((2, n), NEG_INF - 5.0, jnp.float32)  # all banned
+    x = x.at[0, 7].set(NEG_INF - 1.0)   # "forced" candidate: least banned
+    x = x.at[1, n - 2].set(NEG_INF - 1.0)
+    s, i = chunked_top_k(x, 10, chunk=chunk)
+    assert int(np.asarray(i).max()) < n  # never a pad index
+    assert int(np.asarray(i)[0, 0]) == 7
+    assert int(np.asarray(i)[1, 0]) == n - 2

@@ -72,6 +72,40 @@ def test_fit_saves_best_and_last(setup, tmp_path):
     assert at == int(state.step)
 
 
+def test_restore_across_prng_impl(tmp_path):
+    """A checkpoint saved with a threefry (2,)-shaped raw rng key must restore
+    into a template holding an rbg (4,) key (the post-r3 default), and vice
+    versa — the stored key is discarded (different impl, no stream continuity)
+    but every other leaf comes from disk. Regression for the prng_impl flip
+    breaking --resume of pre-rbg checkpoints."""
+    from vacnic_tpu.train.train_step import TrainState
+
+    def state(rng_shape, fill):
+        return TrainState(
+            step=jnp.asarray(7, jnp.int32),
+            params={"model": {"w": jnp.full((4, 4), fill, jnp.float32)}},
+            teacher={"w": jnp.full((4,), fill, jnp.float32)},
+            opt_state={"mu": jnp.full((4, 4), fill, jnp.float32)},
+            rng=jnp.zeros(rng_shape, jnp.uint32),
+        )
+
+    for saved_shape, tpl_shape in (((2,), (4,)), ((4,), (2,))):
+        d = str(tmp_path / f"ck{saved_shape[0]}")
+        mgr = CheckpointManager(d)
+        mgr.save(7, state(saved_shape, 3.0))
+        mgr.wait()
+        template = state(tpl_shape, 0.0)._replace(
+            rng=jnp.arange(tpl_shape[0], dtype=jnp.uint32))
+        restored, at = CheckpointManager(d).restore(template)
+        assert at == 7
+        np.testing.assert_array_equal(np.asarray(restored.params["model"]["w"]),
+                                      np.full((4, 4), 3.0, np.float32))
+        # the template's key survives (fresh stream for the new impl)
+        assert restored.rng.shape == tpl_shape
+        np.testing.assert_array_equal(np.asarray(restored.rng),
+                                      np.arange(tpl_shape[0], dtype=np.uint32))
+
+
 def test_generate_captions_output_format(setup, tmp_path):
     cfg, params, teacher, key = setup
     tok = HashWordTokenizer(cfg.bart.vocab_size)

@@ -360,19 +360,20 @@ def cmd_retrieve(args) -> int:
     if args.clip_ckpt.endswith(".npz"):
         clip_params = _convert_checkpoint_module().load_tree(args.clip_ckpt)
     else:
-        # raw OpenAI-format .pt (stock or SECLA-tuned — reference
-        # --trained_clip): convert both towers in place
+        # raw .pt (stock or SECLA-tuned — reference --trained_clip): the
+        # vision tower goes through the same helper as `train --clip-ckpt`
+        # (OpenAI or HF format); the text tower only has an OpenAI converter
         from vacnic_tpu.models import weights_io as W
         from vacnic_tpu.models.clip_text import convert_clip_text_openai
 
         sd = W.load_state_dict(args.clip_ckpt)
-        clip_params = {
-            "vision": W.convert_clip_vision_openai(sd, ClipVisionConfig()),
-            "text": convert_clip_text_openai(sd),
-        }
+        clip_params = {"vision": _load_clip_vision_ckpt(args.clip_ckpt, ClipVisionConfig())}
+        if any(k.startswith("transformer.resblocks.") for k in sd):
+            clip_params["text"] = convert_clip_text_openai(sd)
     if "text" not in clip_params:
-        raise SystemExit("clip checkpoint has no text tower; convert the full "
-                         "OpenAI .pt with scripts/convert_checkpoint.py clip")
+        raise SystemExit(
+            "clip checkpoint has no text tower usable for retrieval; pass an "
+            "OpenAI-format .pt or convert it with scripts/convert_checkpoint.py clip")
     tok = ClipBpeTokenizer.from_dir(args.clip_vocab)
     vcfg = ClipVisionConfig()
 

@@ -18,10 +18,11 @@ def set_random_seed(seed: int, impl: str | None = None) -> jax.Array:
     see TrainConfig.prng_impl)."""
     random.seed(seed)
     np.random.seed(seed % (2**32))
-    if impl and impl != "threefry2x32":
+    if impl:
         # process-wide default so raw (untyped) keys re-wrap with the same
         # impl across split/fold_in (typed keys would complicate orbax
-        # checkpointing of TrainState.rng)
+        # checkpointing of TrainState.rng). Set unconditionally so an
+        # explicit threefry request undoes a prior rbg switch.
         jax.config.update("jax_default_prng_impl", impl)
     return jax.random.PRNGKey(seed)
 

@@ -110,7 +110,11 @@ def chunked_top_k(flat: jax.Array, k: int, chunk: int = 4096):
     nc = -(-n // chunk)
     pad = nc * chunk - n
     if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        # pad strictly BELOW any real candidate: banned candidates sit at
+        # running_score + NEG_INF < NEG_INF (scores are negative), so a
+        # NEG_INF pad would outrank them and leak out-of-range flat indices
+        # into the top-k (observed only under VACNIC_CHUNKED_TOPK=1)
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     # stage 1 in 2D ([B·nc, chunk]) — a 3D operand falls off TPU TopK's fast
     # path onto a full sort (measured: the 3D form collapsed the bench
     # 123 → 73 cps)

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -371,8 +373,6 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
                 return n
         return 1
 
-    import os as _os0
-
     # r3 sweep at b128 (bk 640, int8+nt4): n_self=8 (bkc=80) = 7.96 ms
     # model step vs 8.86 at 16 and 15.5 at 4 — bigger row chunks halve the
     # phase count and double the gather depth; end-to-end 141.3 cps vs
@@ -380,8 +380,8 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # generate_mm_robust's bkc gate.)
     ns_default = pick(max(1, bk // 80), lambda n: (bk // n) % 8 == 0) \
         if bk >= 640 else pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
-    n_self = int(_os0.environ.get("VACNIC_PLAN_NSELF", ns_default))
-    n_cross = int(_os0.environ.get(
+    n_self = int(os.environ.get("VACNIC_PLAN_NSELF", ns_default))
+    n_cross = int(os.environ.get(
         "VACNIC_PLAN_NCROSS", pick(max(1, b // 8), lambda n: True)))
     # Best measured per-batch configs on v5e (clean serial runs):
     #   b32  (bk 160): n_t=4, XLA LM head          -> ~88-91 cps
@@ -390,8 +390,6 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # Rule: time chunks shrink as row chunks multiply (phase count ~16);
     # the in-kernel LM head wins once its weight stream amortizes over
     # more rows. VACNIC_PLAN_NT / VACNIC_PLAN_NLM override for sweeps.
-    import os as _os
-
     # in-kernel LM default only at bk≈320: at bk 640 the [BK, VB] logits
     # blocks leave <2 MB of VMEM-stack slack and the compiler's stack
     # accounting drifts a few MB between compiles — too flaky for an
@@ -402,8 +400,8 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # b128: n_t=4 beats 1 (8.86 vs 9.23 ms model step with int8); b64 kept
     # at the r2-measured 2.
     default_nt = 4 if bk >= 640 else max(1, 16 // n_self)
-    n_t = int(_os.environ.get("VACNIC_PLAN_NT", default_nt))
-    n_lm = int(_os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
+    n_t = int(os.environ.get("VACNIC_PLAN_NT", default_nt))
+    n_lm = int(os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
     if t_max % n_t:
         # largest divisor of T not exceeding the request — decode_stack
         # would otherwise reset to 1 and corrupt sweep records
@@ -414,9 +412,9 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
         n_ffn=2 if ffn_cols % 2 == 0 else 1,
         n_t=n_t,
         n_lm=n_lm,
-        vmem_mb=int(_os.environ.get("VACNIC_PLAN_VMEM",
+        vmem_mb=int(os.environ.get("VACNIC_PLAN_VMEM",
                                     ChunkPlan._field_defaults["vmem_mb"])),
-        gather_v2=int(_os.environ.get("VACNIC_GATHER_V2",
+        gather_v2=int(os.environ.get("VACNIC_GATHER_V2",
                                       ChunkPlan._field_defaults["gather_v2"])),
     )
 

@@ -243,6 +243,13 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
     from vacnic_tpu.infer import decode_fast as DF
 
     bsz, k = input_ids.shape[0], dcfg.num_beams
+    # honor an explicit caller plan (generate_mm's documented override) —
+    # probing would both crash on the duplicate kwarg and ignore the
+    # caller's intent
+    if kw.get("decode_plan") is not None:
+        return generate_mm(params, input_ids, attention_mask, image_features,
+                           cfg, fcfg, dcfg, **kw)
+    kw.pop("decode_plan", None)
     env = _os.environ.get("VACNIC_PALLAS_DECODE")
     use_pallas = (jax.default_backend() != "cpu" if env is None else env == "1")
     if not use_pallas or not DF.pallas_plan_exists(bsz, k):

@@ -49,7 +49,28 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             return state_template, 0
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+        except Exception:
+            # PRNG-impl migration: checkpoints written before the rbg default
+            # (TrainConfig.prng_impl) hold a threefry (2,)-shaped rng where
+            # the template now has an rbg (4,) key — or vice versa. Retry
+            # with the alternate raw-key shape, then keep the TEMPLATE's key:
+            # a stored key from a different impl cannot seed the current one
+            # (the RNG stream restarts; dropout masks have no continuity
+            # guarantee across an impl switch anyway).
+            rng = getattr(state_template, "rng", None)
+            if rng is None or getattr(rng, "shape", None) not in ((2,), (4,)):
+                raise
+            import jax.numpy as jnp
+
+            alt_shape = (2,) if rng.shape == (4,) else (4,)
+            alt = state_template._replace(
+                rng=jnp.zeros(alt_shape, jnp.uint32))
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(alt))
+            restored = restored._replace(rng=state_template.rng)
         return restored, step
 
     def latest_step(self) -> int | None:

@@ -134,7 +134,11 @@ def compute_losses(
 
     out = F.mm_forward(
         params["model"], src_ids, src_mask, tgt_input, img_feat_cls, bart_cfg, fcfg,
-        dropout_rng=rngs.get("model"), dtype=dtype, remat=tcfg.grad_checkpoint, **mm_kwargs,
+        dropout_rng=rngs.get("model"), dtype=dtype, remat=tcfg.grad_checkpoint,
+        # this forward is differentiated; the fused Pallas encoder has no VJP,
+        # so a no-dropout config (dropout_rng=None, grad_checkpoint=False)
+        # must not fall into the eval-mode fused path
+        allow_fused_encoder=False, **mm_kwargs,
     )
 
     txt_loss = L.lm_cross_entropy(out["logits"], tgt_ids, bart_cfg.pad_token_id)

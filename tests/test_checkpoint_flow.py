@@ -206,3 +206,69 @@ def test_clip_ckpt_flag_loads_tuned_weights(tmp_path):
     tree2 = _load_clip_vision_ckpt(npz_path, vcfg)
     np.testing.assert_allclose(
         np.asarray(tree2["layers"][0]["mlp"]["c_fc"]["bias"]), want, atol=1e-7)
+
+
+def _tiny_openai_text_sd(width=32, layers=1, vocab=64, ctx=16, seed=5):
+    """OpenAI-format text-tower keys (`transformer.resblocks.*` + embeddings)."""
+    g = torch.Generator().manual_seed(seed)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.02
+
+    sd = {
+        "token_embedding.weight": r(vocab, width),
+        "positional_embedding": r(ctx, width),
+        "ln_final.weight": torch.ones(width), "ln_final.bias": r(width),
+        "text_projection": r(width, 16),
+        "logit_scale": torch.tensor(2.6593),
+    }
+    for i in range(layers):
+        pre = f"transformer.resblocks.{i}"
+        sd |= {
+            f"{pre}.attn.in_proj_weight": r(3 * width, width),
+            f"{pre}.attn.in_proj_bias": r(3 * width),
+            f"{pre}.attn.out_proj.weight": r(width, width),
+            f"{pre}.attn.out_proj.bias": r(width),
+            f"{pre}.ln_1.weight": torch.ones(width), f"{pre}.ln_1.bias": r(width),
+            f"{pre}.ln_2.weight": torch.ones(width), f"{pre}.ln_2.bias": r(width),
+            f"{pre}.mlp.c_fc.weight": r(4 * width, width),
+            f"{pre}.mlp.c_fc.bias": r(4 * width),
+            f"{pre}.mlp.c_proj.weight": r(width, 4 * width),
+            f"{pre}.mlp.c_proj.bias": r(width),
+        }
+    return sd
+
+
+def test_retrieve_ckpt_loader_formats(tmp_path):
+    """`cli retrieve --clip-ckpt` loading: a full OpenAI .pt yields both
+    towers; a vision-only .pt exits with a clear message (not a KeyError
+    deep in the converter); the converted .npz tree loads as-is."""
+    from vacnic_tpu.cli import _load_clip_retrieval_ckpt
+    from vacnic_tpu.core.config import ClipVisionConfig
+
+    vcfg = ClipVisionConfig.tiny(layers=1)
+
+    # full OpenAI checkpoint (vision + text towers in one sd)
+    sd = _tiny_openai_clip_sd() | _tiny_openai_text_sd()
+    pt = str(tmp_path / "clip_full.pt")
+    torch.save(sd, pt)
+    params = _load_clip_retrieval_ckpt(pt, vcfg, text_layers=1, text_heads=4)
+    assert set(params) >= {"vision", "text"}
+    np.testing.assert_allclose(
+        np.asarray(params["text"]["token_embedding"]["weight"]),
+        sd["token_embedding.weight"].numpy(), atol=1e-7)
+
+    # vision-only checkpoint: clear SystemExit, not a converter KeyError
+    pt_v = str(tmp_path / "clip_vis.pt")
+    torch.save(_tiny_openai_clip_sd(), pt_v)
+    with pytest.raises(SystemExit, match="no text tower"):
+        _load_clip_retrieval_ckpt(pt_v, vcfg, text_layers=1, text_heads=4)
+
+    # converted .npz tree passes through untouched
+    cc = _load_script("convert_checkpoint")
+    npz = str(tmp_path / "clip_full.npz")
+    cc.save_tree({"vision": params["vision"], "text": params["text"]}, npz)
+    params2 = _load_clip_retrieval_ckpt(npz, vcfg)
+    np.testing.assert_allclose(
+        np.asarray(params2["text"]["token_embedding"]["weight"]),
+        sd["token_embedding.weight"].numpy(), atol=1e-7)

@@ -341,6 +341,32 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def _load_clip_retrieval_ckpt(path: str, vcfg, text_layers: int = 12,
+                              text_heads: int = 8) -> dict:
+    """Load BOTH CLIP towers for `cli retrieve --clip-ckpt` (reference
+    --trained_clip, train...match.py:736-739). Accepts a converted .npz tree
+    or a raw .pt: the vision tower goes through the same helper as
+    `train --clip-ckpt` (OpenAI or HF format); the text tower only has an
+    OpenAI converter. Raises SystemExit when no text tower is available —
+    retrieval needs it to score sentences."""
+    if path.endswith(".npz"):
+        clip_params = _convert_checkpoint_module().load_tree(path)
+    else:
+        from vacnic_tpu.models import weights_io as W
+        from vacnic_tpu.models.clip_text import convert_clip_text_openai
+
+        sd = W.load_state_dict(path)
+        clip_params = {"vision": _load_clip_vision_ckpt(path, vcfg)}
+        if any(k.startswith("transformer.resblocks.") for k in sd):
+            clip_params["text"] = convert_clip_text_openai(
+                sd, layers=text_layers, heads=text_heads)
+    if "text" not in clip_params:
+        raise SystemExit(
+            "clip checkpoint has no text tower usable for retrieval; pass an "
+            "OpenAI-format .pt or convert it with scripts/convert_checkpoint.py clip")
+    return clip_params
+
+
 def cmd_retrieve(args) -> int:
     """CLIP sentence-retrieval preprocessing (the stage ABSENT from the
     reference snapshot, SURVEY §0.1): embed each sample's image, score the
@@ -357,25 +383,9 @@ def cmd_retrieve(args) -> int:
     from vacnic_tpu.data.preprocess.clip_retrieval import retrieve_sentences, split_sentences
     from vacnic_tpu.models.clip_vit import clip_image_embed
 
-    if args.clip_ckpt.endswith(".npz"):
-        clip_params = _convert_checkpoint_module().load_tree(args.clip_ckpt)
-    else:
-        # raw .pt (stock or SECLA-tuned — reference --trained_clip): the
-        # vision tower goes through the same helper as `train --clip-ckpt`
-        # (OpenAI or HF format); the text tower only has an OpenAI converter
-        from vacnic_tpu.models import weights_io as W
-        from vacnic_tpu.models.clip_text import convert_clip_text_openai
-
-        sd = W.load_state_dict(args.clip_ckpt)
-        clip_params = {"vision": _load_clip_vision_ckpt(args.clip_ckpt, ClipVisionConfig())}
-        if any(k.startswith("transformer.resblocks.") for k in sd):
-            clip_params["text"] = convert_clip_text_openai(sd)
-    if "text" not in clip_params:
-        raise SystemExit(
-            "clip checkpoint has no text tower usable for retrieval; pass an "
-            "OpenAI-format .pt or convert it with scripts/convert_checkpoint.py clip")
-    tok = ClipBpeTokenizer.from_dir(args.clip_vocab)
     vcfg = ClipVisionConfig()
+    clip_params = _load_clip_retrieval_ckpt(args.clip_ckpt, vcfg)
+    tok = ClipBpeTokenizer.from_dir(args.clip_vocab)
 
     with open(args.data_dict) as f:
         data_dict = json.load(f)

@@ -84,16 +84,18 @@ def embed(p: Params, ids: jax.Array, dtype=None) -> jax.Array:
 def dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     """Inverted dropout; rng=None → deterministic identity (eval path).
 
-    VACNIC_DROPOUT_BITS=1 selects a uint16-threshold mask: bernoulli lowers
-    to bits→f32-uniform→compare (pure VPU work, recomputed under remat —
-    measured ~77 ms/step at train b64 even with the rbg PRNG); comparing the
-    raw uint16 bits against round(keep·65536) skips the float conversion.
+    Default mask path (VACNIC_DROPOUT_BITS=0 opts out): a uint16-threshold
+    compare. bernoulli lowers to bits→f32-uniform→compare (pure VPU work,
+    recomputed under remat — measured ~77 ms/step at train b64 even with the
+    rbg PRNG); comparing the raw uint16 bits against round(keep·65536) skips
+    the float conversion. Same-window chip A/B at b64 teacher-cached:
+    70.53 samples/s (907.4 ms) vs bernoulli 67.36 (950.1) — +4.7%.
     Keep-probability quantization is ≤1/65536 (0.9 → 0.899994), far below
     the mask-stream change the rbg default already made."""
     if rng is None or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    if os.environ.get("VACNIC_DROPOUT_BITS") == "1":
+    if os.environ.get("VACNIC_DROPOUT_BITS", "1") == "1":
         thresh = min(int(round(keep * 65536.0)), 65535)
         mask = jax.random.bits(rng, x.shape, jnp.uint16) < jnp.uint16(thresh)
     else:

@@ -39,8 +39,10 @@ def main() -> None:
     # A/B knobs for dropout-mask cost: BENCH_PRNG overrides the PRNG impl
     # (default = TrainConfig.prng_impl, measured-best rbg; BENCH_PRNG=
     # threefry2x32 restores the old path); BENCH_DROPOUT=0 disables dropout
-    # entirely (upper bound). Measured b64 teacher-cached: threefry 60.37,
-    # rbg 66.91, no-dropout 72.8 samples/s (same window).
+    # entirely (upper bound); VACNIC_DROPOUT_BITS=0 restores bernoulli masks.
+    # Measured b64 teacher-cached: threefry 60.37, rbg 66.91, no-dropout
+    # 72.8 samples/s (one window); rbg+uint16-bits 70.53 vs rbg+bernoulli
+    # 67.36 (a later window).
     impl = os.environ.get("BENCH_PRNG", cfg.train.prng_impl)
     if impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", impl)

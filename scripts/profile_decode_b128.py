@@ -72,9 +72,6 @@ def model_variants(parts, cfg, params):
     dp = DF.build_decode_params(params)
     enc_out = jax.random.normal(jax.random.fold_in(key, 1), (BATCH, S, D), jnp.bfloat16)
     int8 = os.environ.get("PROF_INT8") == "1"
-    cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
-                                  pad_to=16, time_major=True,
-                                  cross_kv_int8=int8)
     enc_bias = jnp.zeros((BATCH, 1, 1, S), jnp.float32)
     plan = DF.choose_plan(BK, BATCH, T_MAX, dp.w_fc1.shape[2])
     print(f"plan: {plan} int8={int8}", flush=True)
@@ -82,8 +79,16 @@ def model_variants(parts, cfg, params):
     def chained(with_lm: bool, with_reorder: bool):
         probe_w = jax.random.normal(jax.random.fold_in(key, 2), (D, 128), jnp.bfloat16)
 
+        # build the cache INSIDE the jit (from enc_out): passing it as a jit
+        # argument keeps the input buffer alive next to the scan carry — two
+        # self-cache copies ≈ 8 GB at b256 OOM where the real while_loop path
+        # fits. In-jit build adds one cross-KV projection per 50-step loop
+        # (~0.1 ms/step noise).
         @jax.jit
-        def run(dp, params, enc_bias, cache, probe_w):
+        def run(dp, params, enc_bias, enc_out, probe_w):
+            cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
+                                          pad_to=16, time_major=True,
+                                          cross_kv_int8=int8)
             def body(carry, pos):
                 tok, cache = carry
                 logits, cache = DF.decode_step_pallas(
@@ -108,11 +113,11 @@ def model_variants(parts, cfg, params):
         return run
 
     if "model" in parts:
-        emit("model", timed(chained(True, False), dp, params, enc_bias, cache,
+        emit("model", timed(chained(True, False), dp, params, enc_bias, enc_out,
                             jnp.zeros((D, 128), jnp.bfloat16)))
     if "model_reorder" in parts:
         emit("model_reorder", timed(chained(True, True), dp, params, enc_bias,
-                                    cache, jnp.zeros((D, 128), jnp.bfloat16)))
+                                    enc_out, jnp.zeros((D, 128), jnp.bfloat16)))
 
 
 def model_nolm_variant(cfg, params):

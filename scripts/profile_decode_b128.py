@@ -316,6 +316,153 @@ def loop_parts_variants(parts):
         emit("loop_nobk", run_loop(no_bookkeeping=True))
 
 
+def loop_strategy_variants(parts):
+    """Candidate NEW beam-logic strategies, measured in the REAL while_loop
+    (isolation trap: isolated scans mis-measure top_k by >15x).
+
+    loop_shortlist — per-(batch,beam)-row shortlist FIRST on RAW logits:
+        within a row, ranking by total = logit + (score - lse) is invariant
+        to the per-row constant shift, so per-row top-C by raw logit (C=64
+        covers top-10 + the <=49-token worst-case ngram+eos ban margin)
+        is exact. Downstream (lse add, ngram ban check, final top-10) runs
+        on [B, K, C] instead of [B, K*V]; the only remaining full-width
+        passes are the lse reduction and the top-C itself.
+    loop_blockmax — keep the current full-width `total`, replace the final
+        top-2K with an exact two-stage: per-1024-block max-reduce ->
+        top-10 blocks (any block holding a global top-10 value must rank
+        in the top-10 by block max — pigeonhole) -> gather 10 blocks/row ->
+        top-10 over [B, 10240].
+    loop_rowtopk16 — per-row top_k at k=16: TopK k-scaling probe.
+    """
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (256, V), jnp.bfloat16)
+    C = 64
+    NGRAM_P = L - 2  # ngram-3 candidate start positions
+
+    def stub_logits(tbl, seqs, cur):
+        tok = jax.lax.dynamic_slice_in_dim(
+            seqs.reshape(BATCH * BEAMS, L), cur - 1, 1, axis=1)
+        return jnp.take(tbl, tok[:, 0] % 256, axis=0).astype(jnp.float32)
+
+    def banned_tokens(seqs, cur):
+        """[B, K, P] token ids banned by ngram-3 (invalid slots = -1)."""
+        n = 3
+        idx = cur - (n - 1) + jnp.arange(n - 1)
+        prefix = jnp.take_along_axis(
+            seqs, jnp.broadcast_to(idx[None, None, :], (BATCH, BEAMS, n - 1)), axis=2)
+        pos = jnp.arange(NGRAM_P)
+        win_idx = pos[:, None] + jnp.arange(n - 1)[None, :]
+        windows = seqs[:, :, win_idx]
+        btok = seqs[:, :, pos + (n - 1)]
+        match = jnp.all(windows == prefix[:, :, None, :], axis=-1)
+        valid = (pos[None, None, :] + (n - 1)) <= (cur - 1)
+        match = match & valid & (cur >= n)
+        return jnp.where(match, btok, -1)
+
+    def run_shortlist(k_row=C, with_lse=True):
+        @jax.jit
+        def run(tbl):
+            def cond(s):
+                return s["cur"] < L
+
+            def body(s):
+                cur = s["cur"]
+                logits = stub_logits(tbl, s["seqs"], cur)  # [BK, V] f32
+                cv, ci = jax.lax.top_k(logits, k_row)      # [BK, C]
+                if with_lse:
+                    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [BK]
+                else:
+                    lse = logits[:, 0] * 1e-9
+                shift = s["scores"].reshape(-1) - lse
+                total = (cv + shift[:, None]).reshape(BATCH, BEAMS, k_row)
+                ci3 = ci.reshape(BATCH, BEAMS, k_row)
+                # processors on the candidate set only
+                ban = banned_tokens(s["seqs"], cur)  # [B, K, P]
+                hit = jnp.any(ci3[:, :, :, None] == ban[:, :, None, :], axis=-1)
+                hit = hit | ((cur < L - 1) & (ci3 == 2))  # min_length eos ban
+                total = jnp.where(hit, s["scores"][:, :, None] - 1e7, total)
+                flat = total.reshape(BATCH, BEAMS * k_row)
+                ts, ti = jax.lax.top_k(flat, 2 * BEAMS)
+                beam = ti // k_row
+                tokn = jnp.take_along_axis(
+                    ci3.reshape(BATCH, BEAMS * k_row), ti, axis=1)
+                cand = jnp.take_along_axis(s["seqs"], beam[:, :, None], axis=1)
+                cand = jax.lax.dynamic_update_slice_in_dim(
+                    cand, tokn[:, :, None], cur, axis=2)
+                keep_s, keep_i = jax.lax.top_k(ts, BEAMS)
+                seqs = jnp.take_along_axis(cand, keep_i[:, :, None], axis=1)
+                return {"cur": cur + 1, "seqs": seqs, "scores": keep_s}
+
+            init = {
+                "cur": jnp.int32(1),
+                "seqs": jnp.full((BATCH, BEAMS, L), 1, jnp.int32),
+                "scores": jnp.tile(jnp.array([0.0] + [-1e7] * (BEAMS - 1),
+                                             jnp.float32), (BATCH, 1)),
+            }
+            out = jax.lax.while_loop(cond, body, init)
+            return out["scores"].sum()
+
+        return timed(run, table)
+
+    def run_blockmax(blk=1024):
+        @jax.jit
+        def run(tbl):
+            def cond(s):
+                return s["cur"] < L
+
+            def body(s):
+                cur = s["cur"]
+                logits = stub_logits(tbl, s["seqs"], cur)
+                lp = jax.nn.log_softmax(logits, axis=-1).reshape(BATCH, BEAMS, V)
+                lp = jnp.where(
+                    (cur < L - 1)
+                    & (jnp.arange(V)[None, None, :] == 2), -1e7, lp)
+                total = lp + s["scores"][:, :, None]
+                flat = total.reshape(BATCH, BEAMS * V)
+                n = BEAMS * V
+                nb = -(-n // blk)
+                padded = jnp.pad(flat, ((0, 0), (0, nb * blk - n)),
+                                 constant_values=-jnp.inf)
+                bmax = padded.reshape(BATCH, nb, blk).max(axis=-1)  # [B, nb]
+                _, bidx = jax.lax.top_k(bmax, 2 * BEAMS)            # [B, 2K]
+                gat = jnp.take_along_axis(
+                    padded.reshape(BATCH, nb, blk), bidx[:, :, None], axis=1
+                ).reshape(BATCH, 2 * BEAMS * blk)
+                ts, tj = jax.lax.top_k(gat, 2 * BEAMS)
+                ti = jnp.take_along_axis(
+                    (bidx[:, :, None] * blk
+                     + jnp.arange(blk)[None, None, :]).reshape(BATCH, -1),
+                    tj, axis=1)
+                beam = ti // V
+                tokn = ti % V
+                cand = jnp.take_along_axis(s["seqs"], beam[:, :, None], axis=1)
+                cand = jax.lax.dynamic_update_slice_in_dim(
+                    cand, tokn[:, :, None], cur, axis=2)
+                keep_s, keep_i = jax.lax.top_k(ts, BEAMS)
+                seqs = jnp.take_along_axis(cand, keep_i[:, :, None], axis=1)
+                return {"cur": cur + 1, "seqs": seqs, "scores": keep_s}
+
+            init = {
+                "cur": jnp.int32(1),
+                "seqs": jnp.full((BATCH, BEAMS, L), 1, jnp.int32),
+                "scores": jnp.tile(jnp.array([0.0] + [-1e7] * (BEAMS - 1),
+                                             jnp.float32), (BATCH, 1)),
+            }
+            out = jax.lax.while_loop(cond, body, init)
+            return out["scores"].sum()
+
+        return timed(run, table)
+
+    if "loop_shortlist" in parts:
+        emit("loop_shortlist", run_shortlist())
+    if "loop_shortlist_nolse" in parts:
+        emit("loop_shortlist_nolse", run_shortlist(with_lse=False))
+    if "loop_rowtopk16" in parts:
+        emit("loop_rowtopk16", run_shortlist(k_row=16))
+    if "loop_blockmax" in parts:
+        emit("loop_blockmax", run_blockmax())
+
+
 def ngram_variant():
     key = jax.random.PRNGKey(0)
     seqs = jax.random.randint(key, (BATCH, BEAMS, L), 4, 100)
@@ -350,6 +497,7 @@ def main():
     logic_variants(parts)
     softmax_topk_variants(parts)
     loop_parts_variants(parts)
+    loop_strategy_variants(parts)
     if "ngram" in parts:
         ngram_variant()
 

@@ -463,6 +463,34 @@ def loop_strategy_variants(parts):
         emit("loop_blockmax", run_blockmax())
 
 
+def real_bs_variant(parts):
+    """The ACTUAL vacnic_tpu.infer.beam_search with a stub table step_fn at
+    the bench vocab/shape — the real beam-logic cost per candidate mode
+    (select with VACNIC_BEAM_LOGIC=full|opt|shortlist before launch).
+    min_length pins a full-length decode so all N_STEPS run."""
+    if "loop_realbs" not in parts:
+        return
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (256, V), jnp.bfloat16)
+    cfg = DecodeConfig(num_beams=BEAMS, max_length=L, length_penalty=2.0,
+                       early_stopping=True, no_repeat_ngram_size=3,
+                       forced_eos=True, min_length=L - 1)
+
+    @jax.jit
+    def run(tbl):
+        def sf(tok, cache, pos):
+            return jnp.take(tbl, tok[:, 0] % 256, axis=0), cache + 1
+
+        seqs, scores = beam_search(
+            sf, jnp.zeros((BATCH * BEAMS, 8), jnp.float32), BATCH, cfg=cfg,
+            eos_token_id=2, pad_token_id=1, decoder_start_token_id=2,
+            forced_bos_token_id=0, vocab_size=V)
+        return scores.sum()
+
+    mode = os.environ.get("VACNIC_BEAM_LOGIC", "auto")
+    emit(f"loop_realbs[{mode}]"[:14], timed(run, table))
+
+
 def ngram_variant():
     key = jax.random.PRNGKey(0)
     seqs = jax.random.randint(key, (BATCH, BEAMS, L), 4, 100)
@@ -498,6 +526,7 @@ def main():
     softmax_topk_variants(parts)
     loop_parts_variants(parts)
     loop_strategy_variants(parts)
+    real_bs_variant(parts)
     if "ngram" in parts:
         ngram_variant()
 

@@ -1,0 +1,171 @@
+"""Shortlist beam-logic exactness: final outputs identical to the full-width
+candidate pipeline.
+
+The shortlist path (beam_search._candidates_shortlist) replaces the
+[B, K·V] materialize-process-topk pipeline with a per-row top-C on raw
+logits plus candidate-set processors. Its exactness argument
+(shortlist_width margin, forced-step junk columns) is validated here by
+brute-force comparison against the full-width path over random models and
+every processor/stopping configuration, including the pathological
+forced-step junk admissions (an eos junk candidate at rank < K becomes a
+NEG_INF hypothesis in both paths — reference semantics inherited from HF
+4.18 GenerationMixin, SURVEY §2.6)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vacnic_tpu.core.config import DecodeConfig
+from vacnic_tpu.infer import beam_search as BS
+
+V = 256  # small vocab; shortlist forced via env so the auto gate is bypassed
+B, K = 3, 5
+
+
+def make_step_fn(seed: int, vocab: int = V):
+    """Logits depend on (last token, position) via a fixed random table, so
+    beam choices cascade — any selection divergence amplifies."""
+    table = jax.random.normal(jax.random.PRNGKey(seed), (64, vocab)) * 4.0
+    ptab = jax.random.normal(jax.random.PRNGKey(seed + 1), (64, vocab))
+
+    def step_fn(tok, cache, pos):
+        logits = jnp.take(table, tok[:, 0] % 64, axis=0)
+        logits = logits + jnp.take(ptab, pos % 64, axis=0)[None, :]
+        return logits, cache + 1
+
+    return step_fn
+
+
+def run(cfg: DecodeConfig, seed: int, mode: str, monkeypatch,
+        forced_bos: int | None = 0, vocab: int = V):
+    monkeypatch.setenv("VACNIC_BEAM_LOGIC", mode)
+    seqs, scores = BS.beam_search(
+        make_step_fn(seed, vocab), jnp.int32(0), B, cfg=cfg,
+        eos_token_id=2, pad_token_id=1, decoder_start_token_id=2,
+        forced_bos_token_id=forced_bos, vocab_size=vocab,
+        reorder_cache_fn=lambda c, sel: c)
+    return np.asarray(seqs), np.asarray(scores)
+
+
+CFGS = [
+    # released decode shape: forced_bos + forced_eos + ngram3 + early stop
+    dict(cfg=DecodeConfig(num_beams=K, max_length=12, length_penalty=2.0,
+                          early_stopping=True, no_repeat_ngram_size=3,
+                          forced_eos=True), forced_bos=0),
+    # min_length active (eos ban margin slot)
+    dict(cfg=DecodeConfig(num_beams=K, max_length=12, length_penalty=1.0,
+                          early_stopping=True, min_length=8,
+                          no_repeat_ngram_size=3, forced_eos=True),
+         forced_bos=0),
+    # no forced processors at all (no extra columns)
+    dict(cfg=DecodeConfig(num_beams=K, max_length=10, length_penalty=2.0,
+                          early_stopping=True, no_repeat_ngram_size=2,
+                          forced_eos=False), forced_bos=None),
+    # junk-admission stress: forced_bos only, eos free to fire early,
+    # early_stopping=True counts junk hypotheses toward done
+    dict(cfg=DecodeConfig(num_beams=K, max_length=12, length_penalty=2.0,
+                          early_stopping=True, no_repeat_ngram_size=0,
+                          forced_eos=False), forced_bos=0),
+    # early_stopping=False legacy heuristic (best of all 2K candidates)
+    dict(cfg=DecodeConfig(num_beams=K, max_length=10, length_penalty=2.0,
+                          early_stopping=False, no_repeat_ngram_size=3,
+                          forced_eos=True, hf_compat="4.18"), forced_bos=0),
+    # modern-mode heuristic + finalize denominators
+    dict(cfg=DecodeConfig(num_beams=K, max_length=10, length_penalty=2.0,
+                          early_stopping=False, no_repeat_ngram_size=3,
+                          forced_eos=True, hf_compat="modern"), forced_bos=0),
+]
+
+
+@pytest.mark.parametrize("mode", ["shortlist", "opt"])
+@pytest.mark.parametrize("case", range(len(CFGS)))
+def test_fast_modes_match_full(case, mode, monkeypatch):
+    spec = CFGS[case]
+    for seed in range(4):
+        s_full, sc_full = run(spec["cfg"], seed, "full", monkeypatch,
+                              spec["forced_bos"])
+        s_sl, sc_sl = run(spec["cfg"], seed, mode, monkeypatch,
+                          spec["forced_bos"])
+        np.testing.assert_array_equal(
+            s_full, s_sl,
+            err_msg=f"case={case} seed={seed} mode={mode} sequences differ")
+        np.testing.assert_allclose(
+            sc_full, sc_sl, rtol=0, atol=0,
+            err_msg=f"case={case} seed={seed} mode={mode} scores differ")
+
+
+def test_opt_certificate_fallback(monkeypatch):
+    """Shrink the optimistic window so ban counts exceed the tolerance and
+    the lax.cond fallback to the full-width path actually fires; outputs
+    must stay identical."""
+    monkeypatch.setattr(BS, "OPT_WINDOW", 2 * K + 2)  # tolerance = 2 bans
+    cfg = DecodeConfig(num_beams=K, max_length=14, length_penalty=1.0,
+                       early_stopping=True, no_repeat_ngram_size=2,
+                       forced_eos=True)
+    for seed in (3, 7):
+        table = jax.random.normal(jax.random.PRNGKey(seed), (64, V))
+        table = table.at[:, :6].add(10.0)  # few dominant tokens -> many bans
+
+        def step_fn(tok, cache, pos):
+            return jnp.take(table, tok[:, 0] % 64, axis=0), cache
+
+        outs = []
+        for mode in ("full", "opt"):
+            monkeypatch.setenv("VACNIC_BEAM_LOGIC", mode)
+            seqs, scores = BS.beam_search(
+                step_fn, jnp.int32(0), B, cfg=cfg, eos_token_id=2,
+                pad_token_id=1, decoder_start_token_id=2,
+                forced_bos_token_id=0, vocab_size=V,
+                reorder_cache_fn=lambda c, sel: c)
+            outs.append((np.asarray(seqs), np.asarray(scores)))
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_shortlist_auto_gate():
+    """Auto mode: on for the real 50k vocab, off for tiny test vocabs."""
+    cfg = DecodeConfig()
+    assert 50267 >= 8 * (BS.shortlist_width(cfg) + 2)
+    assert V < 8 * (BS.shortlist_width(cfg) + 2)
+
+
+def test_shortlist_width_margin():
+    """C must cover top-2K plus the worst-case ban count."""
+    cfg = DecodeConfig(num_beams=5, max_length=50, no_repeat_ngram_size=3,
+                       min_length=1)
+    # bans: <= L-n+1 distinct ngram-banned tokens + 1 eos
+    assert BS.shortlist_width(cfg) >= 2 * 5 + (50 - 3 + 1) + 1
+
+
+def test_shortlist_eos_dominant_row(monkeypatch):
+    """A row whose top candidates are nearly all ngram-banned still selects
+    the correct survivors (margin exercise): force heavy repetition by a
+    near-deterministic table so ngram bans fire often."""
+    cfg = DecodeConfig(num_beams=K, max_length=14, length_penalty=1.0,
+                       early_stopping=True, no_repeat_ngram_size=2,
+                       forced_eos=True)
+    for seed in (11, 12):
+        table = jax.random.normal(jax.random.PRNGKey(seed), (64, V))
+        # sharpen: make a handful of tokens dominate every distribution so
+        # sequences repeat and the ngram processor bans the dominant tokens
+        table = table.at[:, :8].add(8.0)
+
+        def step_fn(tok, cache, pos):
+            return jnp.take(table, tok[:, 0] % 64, axis=0), cache
+
+        outs = []
+        for flag in ("full", "shortlist"):
+            monkeypatch.setenv("VACNIC_BEAM_LOGIC", flag)
+            seqs, scores = BS.beam_search(
+                step_fn, jnp.int32(0), B, cfg=cfg, eos_token_id=2,
+                pad_token_id=1, decoder_start_token_id=2,
+                forced_bos_token_id=0, vocab_size=V,
+                reorder_cache_fn=lambda c, sel: c)
+            outs.append((np.asarray(seqs), np.asarray(scores)))
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])

@@ -67,16 +67,12 @@ def gather_beams(x, beam_indices, b, k_out):
     return x[batch, beam_indices]
 
 
-def _apply_no_repeat_ngram(seqs: jax.Array, cur_len: jax.Array, logprobs: jax.Array, n: int,
-                           ban_value=NEG_INF):
-    """Ban tokens that would complete an n-gram already in the sequence.
-
-    seqs [B, K, L]; logprobs [B, K, V]. A token v is banned iff the last n-1
-    generated tokens followed by v occur earlier as a contiguous n-gram.
-    `ban_value` may be a broadcastable array (the shifted-domain ban).
-    """
+def _ngram_matches(seqs: jax.Array, cur_len: jax.Array, n: int):
+    """(match [B,K,P] bool, banned_tok [B,K,P]) for the no-repeat-ngram rule:
+    position p matches iff seqs[p:p+n-1] equals the current (n-1)-token
+    prefix and the full n-gram lies within generated tokens; the banned
+    token is then seqs[p+n-1]. P = L - n + 1 start positions."""
     b, k, L = seqs.shape
-    v = logprobs.shape[-1]
     # last (n-1)-token prefix, gathered at traced positions
     idx = cur_len - (n - 1) + jnp.arange(n - 1)  # [n-1]
     prefix = jnp.take_along_axis(seqs, jnp.broadcast_to(idx[None, None, :], (b, k, n - 1)), axis=2)
@@ -90,6 +86,20 @@ def _apply_no_repeat_ngram(seqs: jax.Array, cur_len: jax.Array, logprobs: jax.Ar
     # the n-gram must lie fully within generated tokens: p + n - 1 <= cur_len - 1
     valid = (pos[None, None, :] + (n - 1)) <= (cur_len - 1)
     match = match & valid & (cur_len >= n)
+    return match, banned_tok
+
+
+def _apply_no_repeat_ngram(seqs: jax.Array, cur_len: jax.Array, logprobs: jax.Array, n: int,
+                           ban_value=NEG_INF):
+    """Ban tokens that would complete an n-gram already in the sequence.
+
+    seqs [B, K, L]; logprobs [B, K, V]. A token v is banned iff the last n-1
+    generated tokens followed by v occur earlier as a contiguous n-gram.
+    `ban_value` may be a broadcastable array (the shifted-domain ban).
+    """
+    b, k, L = seqs.shape
+    v = logprobs.shape[-1]
+    match, banned_tok = _ngram_matches(seqs, cur_len, n)
     ban = jnp.zeros((b, k, v), bool)
     ban = ban.at[jnp.arange(b)[:, None, None], jnp.arange(k)[None, :, None], banned_tok].max(
         match
@@ -125,6 +135,191 @@ def chunked_top_k(flat: jax.Array, k: int, chunk: int = 4096):
     s2, i2 = jax.lax.top_k(s1.reshape(b, nc * k), k)
     idx = jnp.take_along_axis(g1, i2, axis=1)
     return s2, idx
+
+
+def shortlist_width(cfg: DecodeConfig) -> int:
+    """Exactness margin for the per-row shortlist: the global top-2K can
+    displace at most (#banned tokens per row) shortlist slots, and bans are
+    bounded by the ngram rule's L-n+1 start positions plus the min_length
+    eos ban. Any candidate the full-width path selects from a row is among
+    that row's top-(2K + bans) raw logits (within a row, total = logit +
+    (score - lse) is a constant shift, so raw-logit order IS total order)."""
+    c = 2 * cfg.num_beams
+    if cfg.no_repeat_ngram_size > 0:
+        c += cfg.max_length - cfg.no_repeat_ngram_size + 1
+    if cfg.min_length > 0:
+        c += 1
+    return c
+
+
+def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
+                          eos_token_id, forced_bos_token_id, full_fn,
+                          C=None):
+    """Per-step candidate selection via a per-row shortlist on RAW logits
+    with an exactness certificate.
+
+    Within a row (batch·beam), total = logit + (score - lse) is a constant
+    shift of the raw logits, so the row's top candidates by total ARE its
+    top raw logits. Per-row top-C (C=16 — TPU TopK stays on its fast path;
+    k=64 measured 16.9 vs 5.9 ms/step at b256,
+    scripts/logs_r3/topk_probe_b256.log) moves all processor/score work
+    onto [B, K, C]. Exactness: the global top-2K draws at most 2K from any
+    row, displaced only by banned candidates, so a row certificate
+    (#bans within the shortlist <= C - 2K) guarantees the survivors are
+    the true top-2K; on certificate failure the step falls back to the
+    full-width path under lax.cond (compiled once, executed only when a
+    row's top-C is >= 6/16 banned — pathological repetition). Forced-token
+    steps take the analytic _forced_step_candidates branch (the forced
+    token need not rank in any row's top-C)."""
+    L = cfg.max_length
+    if C is None:
+        C = max(2 * k + 6, 16)
+    C = min(C, vocab_size)
+
+    banned = _banned_token_list(s, cur, cfg=cfg, eos_token_id=eos_token_id)
+
+    def shortlist(_):
+        cv, ci = jax.lax.top_k(logits, C)  # [BK, C] raw-logit shortlist
+        shift = s.running_scores.reshape(-1) - lse
+        total = (cv + shift[:, None]).reshape(b, k, C)
+        ci3 = ci.reshape(b, k, C)
+        if banned is not None:
+            hit = jnp.any(ci3[:, :, :, None] == banned[:, :, None, :], axis=-1)
+            cert = jnp.all(jnp.sum(hit, axis=-1) <= C - 2 * k)
+            total = jnp.where(hit, -jnp.inf, total)
+        else:
+            cert = jnp.bool_(True)
+        flat = total.reshape(b, k * C)
+        ts, ti = jax.lax.top_k(flat, 2 * k)
+        cand = (ts, ti // C,
+                jnp.take_along_axis(ci3.reshape(b, k * C), ti, axis=1))
+        if banned is None:
+            return cand
+        return jax.lax.cond(cert, lambda _: cand,
+                            lambda _: full_fn(logits, lse, s, cur), None)
+
+    is_fb = (cur == 1) if forced_bos_token_id is not None else jnp.bool_(False)
+    is_fe = (cur == L - 1) if cfg.forced_eos else jnp.bool_(False)
+    if forced_bos_token_id is None and not cfg.forced_eos:
+        return shortlist(None)
+    return jax.lax.cond(
+        is_fb | is_fe,
+        lambda _: _forced_step_candidates(
+            s, cur, b=b, k=k, is_fb=is_fb, is_fe=is_fe,
+            eos_token_id=eos_token_id,
+            forced_bos_token_id=forced_bos_token_id),
+        shortlist, None)
+
+
+def _forced_step_candidates(s, cur, *, b, k, is_fb, is_fe, eos_token_id,
+                            forced_bos_token_id):
+    """Analytic candidates for a forced-token step (forced_bos at cur==1 /
+    forced_eos at cur==L-1): the full-width path maps every token to
+    total = score + NEG_INF except the forced token (= score), so its
+    top-2K is [K forced candidates by value, then "junk" — banned tokens in
+    (beam, token-index) tie-break order, i.e. the lowest-index non-forced
+    tokens]. K·(2K+1) candidates replace the K·V top-k. Junk admission is
+    observable (an eos junk candidate at rank < K becomes a NEG_INF
+    hypothesis exactly as in HF 4.18), hence the faithful junk columns."""
+    ftok = jnp.where(is_fb, forced_bos_token_id if forced_bos_token_id
+                     is not None else eos_token_id, eos_token_id)
+    banned_total = s.running_scores[:, :, None] + NEG_INF
+    # per beam: [junk tokens (2K lowest-index non-forced), forced]
+    jtok = jnp.arange(2 * k, dtype=jnp.int32)
+    jtok = jtok + (jtok >= ftok.astype(jnp.int32)).astype(jnp.int32)
+    jtok = jnp.broadcast_to(jtok, (b, k, 2 * k))
+    jcol = jnp.broadcast_to(banned_total, (b, k, 2 * k))
+    fcol = s.running_scores[:, :, None]
+    total = jnp.concatenate([jcol, fcol], axis=2)  # [B, K, 2K+1]
+    toks = jnp.concatenate(
+        [jtok, jnp.broadcast_to(ftok, (b, k, 1)).astype(jnp.int32)], axis=2)
+    w = 2 * k + 1
+    flat = total.reshape(b, k * w)
+    topk_scores, ti = jax.lax.top_k(flat, 2 * k)
+    topk_beam = ti // w
+    topk_tok = jnp.take_along_axis(toks.reshape(b, k * w), ti, axis=1)
+    return topk_scores, topk_beam, topk_tok
+
+
+def _banned_token_list(s, cur, *, cfg, eos_token_id):
+    """[B, K, P(+1)] token ids banned at this step (-1 in inactive slots):
+    the no-repeat-ngram completions plus eos while cur < min_length."""
+    cols = []
+    if cfg.no_repeat_ngram_size > 0:
+        match, banned_tok = _ngram_matches(s.running_seqs, cur,
+                                           cfg.no_repeat_ngram_size)
+        cols.append(jnp.where(match, banned_tok, -1))
+    if cfg.min_length > 0:
+        b, k, _ = s.running_seqs.shape
+        eos_col = jnp.where(cur < cfg.min_length, eos_token_id, -1)
+        cols.append(jnp.broadcast_to(eos_col, (b, k, 1)))
+    return jnp.concatenate(cols, axis=2) if cols else None
+
+
+OPT_WINDOW = 32  # optimistic top-k window; tolerance = OPT_WINDOW - 2K bans
+
+
+def _candidates_opt(logits, lse, s, cur, *, cfg, b, k, vocab_size,
+                    eos_token_id, forced_bos_token_id, full_fn):
+    """Optimistic candidate selection: ONE wide top-k with a widened window,
+    ban-checking only the W winners.
+
+    The full-width path spends a per-step [B, K, V] pass scattering ngram
+    bans over the whole vocab (measured ~2.4 ms/step at b256) when on real
+    steps only a handful of the top candidates are ever banned. Instead:
+    top-W (W=32) over the unbanned totals, compare the W winners against
+    the small banned-token list, drop hits, and keep the top-2K survivors.
+    Exact-by-certificate: if a batch row has more than W-2K banned winners,
+    the survivors may not be the true top-2K, so the step falls back to the
+    full-width path under lax.cond (compiled once, executed only on
+    certificate failure — never observed on real decodes). Banned
+    candidates can outrank unbanned ones only on forced-token steps (ban
+    value = score + NEG_INF vs any real total within 1e7 of the best row's
+    score — the best row alone supplies >= 2K unbanned candidates above
+    every ban value); forced steps take the analytic
+    _forced_step_candidates branch, so dropping hits to -inf is exact."""
+    L = cfg.max_length
+    shift = s.running_scores - unflatten_beam_dim(lse, b, k)
+    total = unflatten_beam_dim(logits, b, k) + shift[:, :, None]
+
+    is_fb = (cur == 1) if forced_bos_token_id is not None else jnp.bool_(False)
+    is_fe = (cur == L - 1) if cfg.forced_eos else jnp.bool_(False)
+
+    banned = _banned_token_list(s, cur, cfg=cfg, eos_token_id=eos_token_id)
+
+    def optimistic(_):
+        w = OPT_WINDOW
+        flat = total.reshape(b, k * vocab_size)
+        ts, ti = jax.lax.top_k(flat, w)  # [B, W]
+        tbeam = ti // vocab_size
+        ttok = ti % vocab_size
+        if banned is not None:
+            bl = jnp.take_along_axis(  # [B, W, P]
+                banned, tbeam[:, :, None], axis=1)
+            hit = jnp.any(ttok[:, :, None] == bl, axis=-1)  # [B, W]
+            cert = jnp.all(jnp.sum(hit, axis=1) <= w - 2 * k)
+            vals = jnp.where(hit, -jnp.inf, ts)
+        else:
+            cert = jnp.bool_(True)
+            vals = ts
+        s2, i2 = jax.lax.top_k(vals, 2 * k)
+        cand = (s2,
+                jnp.take_along_axis(tbeam, i2, axis=1),
+                jnp.take_along_axis(ttok, i2, axis=1))
+        if banned is None:
+            return cand
+        return jax.lax.cond(cert, lambda _: cand,
+                            lambda _: full_fn(logits, lse, s, cur), None)
+
+    if forced_bos_token_id is None and not cfg.forced_eos:
+        return optimistic(None)
+    return jax.lax.cond(
+        is_fb | is_fe,
+        lambda _: _forced_step_candidates(
+            s, cur, b=b, k=k, is_fb=is_fb, is_fe=is_fe,
+            eos_token_id=eos_token_id,
+            forced_bos_token_id=forced_bos_token_id),
+        optimistic, None)
 
 
 def beam_search(
@@ -163,29 +358,49 @@ def beam_search(
         cache=init_cache,
     )
 
-    def cond(s: BeamState):
-        return (s.cur_len < L) & ~jnp.all(s.done)
+    # Candidate-selection strategy (all three final-output-exact, pinned by
+    # tests/test_beam_shortlist.py):
+    #   full      — materialize total [B,K,V], full-vocab processors, one
+    #               wide top-2K (the reference semantics definition).
+    #   opt       — optimistic window: wide top-W on unbanned totals,
+    #               ban-check only the W winners, certificate + lax.cond
+    #               fallback; skips the per-step full-vocab ngram pass.
+    #   shortlist — per-row top-16 on raw logits then [B,K,16] processors,
+    #               certificate + lax.cond fallback (per-row TopK cliff:
+    #               k=16 5.9 vs k=64 16.9 ms/step stub at b256,
+    #               scripts/logs_r3/topk_probe_b256.log).
+    # Auto: opt when the vocab dwarfs the shortlist margin (real 50k vocab
+    # yes; tiny hand-built test vocabs no — those pin tie-break semantics
+    # the full path defines).
+    import os as _os
 
-    def body(s: BeamState) -> BeamState:
-        cur = s.cur_len
-        tok = jax.lax.dynamic_slice_in_dim(  # last token, [BK, 1]
-            flatten_beam_dim(s.running_seqs), cur - 1, 1, axis=1
-        )
-        logits, new_cache = step_fn(tok, s.cache, cur - 1)
-        logits = unflatten_beam_dim(logits.astype(jnp.float32), b, k)  # [B, K, V]
-        # log_softmax + score-add in ONE fused pass: total = logits + (score
-        # − logsumexp) per beam. Algebraically identical to
-        # log_softmax(logits) + scores, but skips materializing the [B·K, V]
-        # logprob array (measured 1.65 ms/step at b128 —
-        # scripts/profile_decode_b128.py loop_nosm delta).
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B, K]
-        shift = s.running_scores - lse
+    _mode_env = _os.environ.get("VACNIC_BEAM_LOGIC")
+    if _mode_env is None and _os.environ.get("VACNIC_BEAM_SHORTLIST") == "1":
+        _mode_env = "shortlist"
+    if _mode_env is None and _os.environ.get("VACNIC_BEAM_SHORTLIST") == "0":
+        _mode_env = "full"
+    if _mode_env is not None:
+        cand_mode = _mode_env
+    else:
+        big_vocab = vocab_size >= 8 * (shortlist_width(cfg) + 2)
+        cand_mode = "opt" if big_vocab else "full"
+
+    def _candidates_full(logits, lse, s, cur):
+        """Reference full-width pipeline: materialize total [B, K, V], apply
+        processors over the whole vocab, single top-2K over K·V lanes.
+        MEASURED (r3, b128): chunked variants are a big LOSS on this backend
+        — 3D stage-1 collapsed the bench 123→73 cps and even 2D [B·nc, 4096]
+        chunking read 9.9 ms/step vs 4.1 for the single wide call; TPU
+        TopK's fast path handles [128, 251335] k=10 best.
+        VACNIC_CHUNKED_TOPK=1 keeps the chunked path for future-backend A/B."""
+        logits = unflatten_beam_dim(logits, b, k)  # [B, K, V]
+        shift = s.running_scores - unflatten_beam_dim(lse, b, k)
         total = logits + shift[:, :, None]  # [B, K, V] = logprobs + scores
 
-        # --- logits processors (HF order; forced_bos overrides last),
-        # applied in the shifted (score-added) domain: a ban that set
+        # logits processors (HF order; forced_bos overrides last), applied
+        # in the shifted (score-added) domain: a ban that set
         # logprob=NEG_INF becomes total=score+NEG_INF, identical to the
-        # unshifted formulation ---------------------------------------------
+        # unshifted formulation
         banned_total = s.running_scores[:, :, None] + NEG_INF
         if cfg.min_length > 0:
             total = jnp.where(
@@ -216,21 +431,45 @@ def beam_search(
             )
             total = jnp.where(is_last, forced, total)
 
-        # single top-2K over the flattened K·V row. MEASURED (r3, b128):
-        # chunked variants are a big LOSS on this backend — 3D stage-1
-        # collapsed the bench 123→73 cps and even 2D [B·nc, 4096] chunking
-        # read 9.9 ms/step vs 4.1 for the single wide call; TPU TopK's fast
-        # path handles [128, 251335] k=10 best. VACNIC_CHUNKED_TOPK=1 keeps
-        # the chunked path available for future-backend A/B.
-        import os as _os
-
         flat = total.reshape(b, k * vocab_size)
         if _os.environ.get("VACNIC_CHUNKED_TOPK", "0") == "1":
             topk_scores, topk_idx = chunked_top_k(flat, 2 * k)  # [B, 2K]
         else:
             topk_scores, topk_idx = jax.lax.top_k(flat, 2 * k)
-        topk_beam = topk_idx // vocab_size
-        topk_tok = topk_idx % vocab_size
+        return topk_scores, topk_idx // vocab_size, topk_idx % vocab_size
+
+    def cond(s: BeamState):
+        return (s.cur_len < L) & ~jnp.all(s.done)
+
+    def body(s: BeamState) -> BeamState:
+        cur = s.cur_len
+        tok = jax.lax.dynamic_slice_in_dim(  # last token, [BK, 1]
+            flatten_beam_dim(s.running_seqs), cur - 1, 1, axis=1
+        )
+        logits, new_cache = step_fn(tok, s.cache, cur - 1)
+        logits = logits.astype(jnp.float32)  # [BK, V]
+        # log_softmax + score-add in ONE fused pass: total = logits + (score
+        # − logsumexp) per beam. Algebraically identical to
+        # log_softmax(logits) + scores, but skips materializing the [B·K, V]
+        # logprob array (measured 1.65 ms/step at b128 —
+        # scripts/profile_decode_b128.py loop_nosm delta).
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [BK]
+
+        if cand_mode == "shortlist":
+            topk_scores, topk_beam, topk_tok = _candidates_shortlist(
+                logits, lse, s, cur, cfg=cfg, b=b, k=k, vocab_size=vocab_size,
+                eos_token_id=eos_token_id,
+                forced_bos_token_id=forced_bos_token_id,
+                full_fn=_candidates_full)
+        elif cand_mode == "opt":
+            topk_scores, topk_beam, topk_tok = _candidates_opt(
+                logits, lse, s, cur, cfg=cfg, b=b, k=k, vocab_size=vocab_size,
+                eos_token_id=eos_token_id,
+                forced_bos_token_id=forced_bos_token_id,
+                full_fn=_candidates_full)
+        else:
+            topk_scores, topk_beam, topk_tok = _candidates_full(
+                logits, lse, s, cur)
 
         # candidate sequences with the new token written at position cur
         cand_seqs = gather_beams(s.running_seqs, topk_beam, b, 2 * k)  # [B, 2K, L]

@@ -365,10 +365,14 @@ def beam_search(
     #   opt       — optimistic window: wide top-W on unbanned totals,
     #               ban-check only the W winners, certificate + lax.cond
     #               fallback; skips the per-step full-vocab ngram pass.
+    #               MEASURED SLOWER in situ (13.9 ms/step vs full 8.9 at
+    #               b256 — the k=32 wide top-k falls off TPU TopK's fast
+    #               path; scripts/logs_r3/realbs_probe_b256.log).
     #   shortlist — per-row top-16 on raw logits then [B,K,16] processors,
     #               certificate + lax.cond fallback (per-row TopK cliff:
     #               k=16 5.9 vs k=64 16.9 ms/step stub at b256,
-    #               scripts/logs_r3/topk_probe_b256.log).
+    #               scripts/logs_r3/topk_probe_b256.log). IN-SITU WINNER:
+    #               6.4 ms/step vs full 8.9 at b256 (realbs_probe).
     # Auto: opt when the vocab dwarfs the shortlist margin (real 50k vocab
     # yes; tiny hand-built test vocabs no — those pin tie-break semantics
     # the full path defines).
@@ -383,7 +387,7 @@ def beam_search(
         cand_mode = _mode_env
     else:
         big_vocab = vocab_size >= 8 * (shortlist_width(cfg) + 2)
-        cand_mode = "opt" if big_vocab else "full"
+        cand_mode = "shortlist" if big_vocab else "full"
 
     def _candidates_full(logits, lse, s, cur):
         """Reference full-width pipeline: materialize total [B, K, V], apply

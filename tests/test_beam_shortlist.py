@@ -169,3 +169,29 @@ def test_shortlist_eos_dominant_row(monkeypatch):
             outs.append((np.asarray(seqs), np.asarray(scores)))
         np.testing.assert_array_equal(outs[0][0], outs[1][0])
         np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_row_topk_blockmax_exact():
+    """Blockmax row top-k ≡ lax.top_k (values AND indices, incl. the
+    lowest-index tie-break) on wide rows with duplicates."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (7, 50267))
+    # inject ties: duplicate some values across blocks
+    x = x.at[:, 40000:40016].set(x[:, :16])
+    cv0, ci0 = jax.lax.top_k(x, 16)
+    cv1, ci1 = BS.row_topk_blockmax(x, 16)
+    np.testing.assert_array_equal(np.asarray(cv0), np.asarray(cv1))
+    np.testing.assert_array_equal(np.asarray(ci0), np.asarray(ci1))
+
+
+def test_shortlist_blockmax_mode(monkeypatch):
+    """End-to-end shortlist with the blockmax row top-k matches full."""
+    monkeypatch.setenv("VACNIC_BEAM_TOPK", "blockmax")
+    spec = CFGS[0]
+    for seed in (0, 1):
+        s_full, sc_full = run(spec["cfg"], seed, "full", monkeypatch,
+                              spec["forced_bos"], vocab=64 * 128)
+        s_sl, sc_sl = run(spec["cfg"], seed, "shortlist", monkeypatch,
+                          spec["forced_bos"], vocab=64 * 128)
+        np.testing.assert_array_equal(s_full, s_sl)
+        np.testing.assert_array_equal(sc_full, sc_sl)

@@ -152,6 +152,32 @@ def shortlist_width(cfg: DecodeConfig) -> int:
     return c
 
 
+def row_topk_blockmax(logits: jax.Array, C: int, blk: int = 128):
+    """Exact per-row top-C via block-max: reduce each 128-token block to its
+    max (one streaming pass), pick the top-C blocks (every block holding a
+    top-C value must rank in the top-C by max — pigeonhole), gather those
+    C blocks and re-rank. Tie-faithful to lax.top_k: block ids are sorted
+    ascending before the gather, so within the gathered array position
+    order IS global index order and top_k's lowest-index tie-break carries
+    over. Env-selected alternative to the plain row top-k
+    (VACNIC_BEAM_TOPK=blockmax) for backend A/B."""
+    rows, n = logits.shape
+    nb = -(-n // blk)
+    if nb * blk != n:
+        logits = jnp.pad(logits, ((0, 0), (0, nb * blk - n)),
+                         constant_values=-jnp.inf)
+    r3 = logits.reshape(rows, nb, blk)
+    bm = r3.max(axis=-1)  # [rows, nb]
+    _, bid = jax.lax.top_k(bm, C)
+    bid = jnp.sort(bid, axis=-1)  # ascending → global-index tie order
+    g = jnp.take_along_axis(r3, bid[:, :, None], axis=1)  # [rows, C, blk]
+    cv, loc = jax.lax.top_k(g.reshape(rows, C * blk), C)
+    gidx = (bid[:, :, None] * blk
+            + jnp.arange(blk)[None, None, :]).reshape(rows, C * blk)
+    ci = jnp.take_along_axis(gidx, loc, axis=1)
+    return cv, ci
+
+
 def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
                           eos_token_id, forced_bos_token_id, full_fn,
                           C=None):
@@ -179,7 +205,13 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
     banned = _banned_token_list(s, cur, cfg=cfg, eos_token_id=eos_token_id)
 
     def shortlist(_):
-        cv, ci = jax.lax.top_k(logits, C)  # [BK, C] raw-logit shortlist
+        import os as _os
+
+        if (_os.environ.get("VACNIC_BEAM_TOPK") == "blockmax"
+                and vocab_size >= 32 * 128):
+            cv, ci = row_topk_blockmax(logits, C)  # [BK, C] raw-logit shortlist
+        else:
+            cv, ci = jax.lax.top_k(logits, C)  # [BK, C] raw-logit shortlist
         shift = s.running_scores.reshape(-1) - lse
         total = (cv + shift[:, None]).reshape(b, k, C)
         ci3 = ci.reshape(b, k, C)

@@ -345,18 +345,11 @@ def loop_strategy_variants(parts):
         return jnp.take(tbl, tok[:, 0] % 256, axis=0).astype(jnp.float32)
 
     def banned_tokens(seqs, cur):
-        """[B, K, P] token ids banned by ngram-3 (invalid slots = -1)."""
-        n = 3
-        idx = cur - (n - 1) + jnp.arange(n - 1)
-        prefix = jnp.take_along_axis(
-            seqs, jnp.broadcast_to(idx[None, None, :], (BATCH, BEAMS, n - 1)), axis=2)
-        pos = jnp.arange(NGRAM_P)
-        win_idx = pos[:, None] + jnp.arange(n - 1)[None, :]
-        windows = seqs[:, :, win_idx]
-        btok = seqs[:, :, pos + (n - 1)]
-        match = jnp.all(windows == prefix[:, :, None, :], axis=-1)
-        valid = (pos[None, None, :] + (n - 1)) <= (cur - 1)
-        match = match & valid & (cur >= n)
+        """[B, K, P] token ids banned by ngram-3 (invalid slots = -1) — the
+        library matcher, so the probe measures production semantics."""
+        from vacnic_tpu.infer.beam_search import _ngram_matches
+
+        match, btok = _ngram_matches(seqs, cur, 3)
         return jnp.where(match, btok, -1)
 
     def run_shortlist(k_row=C, with_lse=True):
@@ -487,8 +480,17 @@ def real_bs_variant(parts):
             forced_bos_token_id=0, vocab_size=V)
         return scores.sum()
 
+    if os.environ.get("PROBE_NOLSE") == "1":
+        # attribution stub: replace the full-width logsumexp with a cheap
+        # slice (wrong scores, same shapes) to isolate the lse pass cost
+        import jax.scipy.special as _jsp
+
+        _jsp.logsumexp = lambda x, axis=-1: x[..., 0] * 1e-9
+
     mode = os.environ.get("VACNIC_BEAM_LOGIC", "auto")
-    emit(f"loop_realbs[{mode}]"[:14], timed(run, table))
+    tag = "nolse," if os.environ.get("PROBE_NOLSE") == "1" else ""
+    topk = os.environ.get("VACNIC_BEAM_TOPK", "")
+    emit(f"loop_realbs[{tag}{topk}{mode}]", timed(run, table))
 
 
 def ngram_variant():

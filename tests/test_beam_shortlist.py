@@ -195,3 +195,57 @@ def test_shortlist_blockmax_mode(monkeypatch):
                           spec["forced_bos"], vocab=64 * 128)
         np.testing.assert_array_equal(s_full, s_sl)
         np.testing.assert_array_equal(sc_full, sc_sl)
+
+
+def test_forced_bos_and_eos_same_step(monkeypatch):
+    """max_length=2: forced_bos and forced_eos hit the same step; the full
+    path applies forced_eos LAST (HF processor order), so eos must win in
+    the analytic forced branch too (review finding r3)."""
+    cfg = DecodeConfig(num_beams=K, max_length=2, length_penalty=1.0,
+                       early_stopping=True, no_repeat_ngram_size=0,
+                       forced_eos=True)
+    for mode in ("full", "shortlist", "opt"):
+        monkeypatch.setenv("VACNIC_BEAM_LOGIC", mode)
+        seqs, scores = BS.beam_search(
+            make_step_fn(0), jnp.int32(0), B, cfg=cfg, eos_token_id=2,
+            pad_token_id=1, decoder_start_token_id=2, forced_bos_token_id=0,
+            vocab_size=V, reorder_cache_fn=lambda c, sel: c)
+        np.testing.assert_array_equal(
+            np.asarray(seqs)[:, 1], np.full(B, 2),
+            err_msg=f"mode={mode}: forced_eos must win the max_length=2 step")
+
+
+def test_opt_wide_beams(monkeypatch):
+    """opt must not crash (and must match full) when 2K exceeds the static
+    OPT_WINDOW (review finding r3: top_k k=34 over a 32-wide window)."""
+    cfg = DecodeConfig(num_beams=17, max_length=8, length_penalty=1.0,
+                       early_stopping=True, no_repeat_ngram_size=2,
+                       forced_eos=True)
+    outs = []
+    for mode in ("full", "opt"):
+        monkeypatch.setenv("VACNIC_BEAM_LOGIC", mode)
+        seqs, scores = BS.beam_search(
+            make_step_fn(1), jnp.int32(0), 2, cfg=cfg, eos_token_id=2,
+            pad_token_id=1, decoder_start_token_id=2, forced_bos_token_id=0,
+            vocab_size=V, reorder_cache_fn=lambda c, sel: c)
+        outs.append((np.asarray(seqs), np.asarray(scores)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+
+
+def test_blockmax_gate_small_vocab(monkeypatch):
+    """blockmax needs >= C blocks; with a vocab too small for the widened C
+    the gate must fall back to the plain row top-k instead of crashing
+    (review finding r3: C=34 > nb=32 at vocab 4096)."""
+    monkeypatch.setenv("VACNIC_BEAM_TOPK", "blockmax")
+    cfg = DecodeConfig(num_beams=14, max_length=8, length_penalty=1.0,
+                       early_stopping=True, no_repeat_ngram_size=2,
+                       forced_eos=True)
+    outs = []
+    for mode in ("full", "shortlist"):
+        monkeypatch.setenv("VACNIC_BEAM_LOGIC", mode)
+        seqs, scores = BS.beam_search(
+            make_step_fn(2, 4096), jnp.int32(0), 2, cfg=cfg, eos_token_id=2,
+            pad_token_id=1, decoder_start_token_id=2, forced_bos_token_id=0,
+            vocab_size=4096, reorder_cache_fn=lambda c, sel: c)
+        outs.append((np.asarray(seqs), np.asarray(scores)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])

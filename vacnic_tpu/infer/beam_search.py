@@ -208,7 +208,7 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
         import os as _os
 
         if (_os.environ.get("VACNIC_BEAM_TOPK") == "blockmax"
-                and vocab_size >= 32 * 128):
+                and vocab_size >= 2 * C * 128):  # needs >= C blocks (exactness)
             cv, ci = row_topk_blockmax(logits, C)  # [BK, C] raw-logit shortlist
         else:
             cv, ci = jax.lax.top_k(logits, C)  # [BK, C] raw-logit shortlist
@@ -253,8 +253,11 @@ def _forced_step_candidates(s, cur, *, b, k, is_fb, is_fe, eos_token_id,
     tokens]. K·(2K+1) candidates replace the K·V top-k. Junk admission is
     observable (an eos junk candidate at rank < K becomes a NEG_INF
     hypothesis exactly as in HF 4.18), hence the faithful junk columns."""
-    ftok = jnp.where(is_fb, forced_bos_token_id if forced_bos_token_id
-                     is not None else eos_token_id, eos_token_id)
+    # forced_eos is applied LAST in the full path (HF processor order), so
+    # it wins when both forcings hit the same step (max_length == 2)
+    ftok = jnp.where(is_fe, eos_token_id,
+                     forced_bos_token_id if forced_bos_token_id is not None
+                     else eos_token_id)
     banned_total = s.running_scores[:, :, None] + NEG_INF
     # per beam: [junk tokens (2K lowest-index non-forced), forced]
     jtok = jnp.arange(2 * k, dtype=jnp.int32)
@@ -320,7 +323,7 @@ def _candidates_opt(logits, lse, s, cur, *, cfg, b, k, vocab_size,
     banned = _banned_token_list(s, cur, cfg=cfg, eos_token_id=eos_token_id)
 
     def optimistic(_):
-        w = OPT_WINDOW
+        w = max(OPT_WINDOW, 2 * k + 8)  # tolerance >= 8 bans at any beam width
         flat = total.reshape(b, k * vocab_size)
         ts, ti = jax.lax.top_k(flat, w)  # [B, W]
         tbeam = ti // vocab_size
@@ -405,9 +408,9 @@ def beam_search(
     #               k=16 5.9 vs k=64 16.9 ms/step stub at b256,
     #               scripts/logs_r3/topk_probe_b256.log). IN-SITU WINNER:
     #               6.4 ms/step vs full 8.9 at b256 (realbs_probe).
-    # Auto: opt when the vocab dwarfs the shortlist margin (real 50k vocab
-    # yes; tiny hand-built test vocabs no — those pin tie-break semantics
-    # the full path defines).
+    # Auto: shortlist when the vocab dwarfs the shortlist margin (real 50k
+    # vocab yes; tiny hand-built test vocabs no — those pin tie-break
+    # semantics the full path defines).
     import os as _os
 
     _mode_env = _os.environ.get("VACNIC_BEAM_LOGIC")

@@ -20,6 +20,12 @@ remote compile service serializes poorly):
   topk_only    — standalone reshape + top-2K scan (no softmax).
   ngram        — standalone no-repeat-ngram processor scan (the [B,K,V]
                  scatter is the suspected hot spot).
+  loop_shortlist / loop_blockmax / loop_rowtopk16 — candidate top-k
+                 strategy stubs (see loop_strategy_variants).
+  loop_realbs  — the ACTUAL beam_search with a stub step_fn; the only
+                 trustworthy beam-logic harness (stub loop_* variants let
+                 XLA DCE the total materialization). VACNIC_BEAM_LOGIC /
+                 VACNIC_BEAM_TOPK / PROBE_NOLSE select the configuration.
 
 Full-step identity to check: full_bench_step ≈ model + (logic − stub) + gap.
 Writes one line per variant; run with a full log file, never through tail.
@@ -337,7 +343,6 @@ def loop_strategy_variants(parts):
     key = jax.random.PRNGKey(0)
     table = jax.random.normal(key, (256, V), jnp.bfloat16)
     C = 64
-    NGRAM_P = L - 2  # ngram-3 candidate start positions
 
     def stub_logits(tbl, seqs, cur):
         tok = jax.lax.dynamic_slice_in_dim(

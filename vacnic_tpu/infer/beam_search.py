@@ -180,7 +180,7 @@ def row_topk_blockmax(logits: jax.Array, C: int, blk: int = 128):
 
 def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
                           eos_token_id, forced_bos_token_id, full_fn,
-                          C=None):
+                          C=None, pre=None):
     """Per-step candidate selection via a per-row shortlist on RAW logits
     with an exactness certificate.
 
@@ -198,7 +198,10 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
     steps take the analytic _forced_step_candidates branch (the forced
     token need not rank in any row's top-C)."""
     L = cfg.max_length
-    if C is None:
+    if pre is not None:
+        C = pre[0].shape[-1]
+        assert C > 2 * k, (C, k)  # certificate tolerance must be positive
+    elif C is None:
         C = max(2 * k + 6, 16)
     C = min(C, vocab_size)
 
@@ -207,7 +210,9 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
     def shortlist(_):
         import os as _os
 
-        if (_os.environ.get("VACNIC_BEAM_TOPK") == "blockmax"
+        if pre is not None:
+            cv, ci = pre  # [BK, C] raw-logit shortlist from the stats head
+        elif (_os.environ.get("VACNIC_BEAM_TOPK") == "blockmax"
                 and vocab_size >= 2 * C * 128):  # needs >= C blocks (exactness)
             cv, ci = row_topk_blockmax(logits, C)  # [BK, C] raw-logit shortlist
         else:
@@ -369,8 +374,16 @@ def beam_search(
     forced_bos_token_id: int | None,
     vocab_size: int,
     reorder_cache_fn=None,
+    step_stats_fn=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run beam search. `step_fn(tokens[BK,1], cache, pos) → (logits[BK,V], cache)`.
+
+    `step_stats_fn`, when provided, replaces step_fn on the shortlist path:
+    `(tok, cache, pos) → (logits_padded [BK, Vp] f32, cand_vals [BK, C],
+    cand_idx [BK, C], lse [BK], cache)` — a fused LM head that already
+    computed the per-row shortlist and logsumexp (kernels/lm_stats). The
+    padded logits feed only the rare certificate-fallback (sliced to V);
+    ignored unless the candidate mode resolves to "shortlist".
 
     Returns (sequences [B, L], scores [B]) for the best hypothesis per batch.
     """
@@ -480,11 +493,24 @@ def beam_search(
     def cond(s: BeamState):
         return (s.cur_len < L) & ~jnp.all(s.done)
 
+    use_stats = step_stats_fn is not None and cand_mode == "shortlist"
+
     def body(s: BeamState) -> BeamState:
         cur = s.cur_len
         tok = jax.lax.dynamic_slice_in_dim(  # last token, [BK, 1]
             flatten_beam_dim(s.running_seqs), cur - 1, 1, axis=1
         )
+        if use_stats:
+            logits, cv, ci, lse, new_cache = step_stats_fn(tok, s.cache, cur - 1)
+            topk_scores, topk_beam, topk_tok = _candidates_shortlist(
+                logits, lse, s, cur, cfg=cfg, b=b, k=k, vocab_size=vocab_size,
+                eos_token_id=eos_token_id,
+                forced_bos_token_id=forced_bos_token_id,
+                full_fn=lambda lg, lse_, s_, cur_: _candidates_full(
+                    lg[:, :vocab_size], lse_, s_, cur_),
+                pre=(cv, ci))
+            return _finish_body(s, cur, new_cache, topk_scores, topk_beam,
+                                topk_tok)
         logits, new_cache = step_fn(tok, s.cache, cur - 1)
         logits = logits.astype(jnp.float32)  # [BK, V]
         # log_softmax + score-add in ONE fused pass: total = logits + (score
@@ -509,7 +535,10 @@ def beam_search(
         else:
             topk_scores, topk_beam, topk_tok = _candidates_full(
                 logits, lse, s, cur)
+        return _finish_body(s, cur, new_cache, topk_scores, topk_beam,
+                            topk_tok)
 
+    def _finish_body(s, cur, new_cache, topk_scores, topk_beam, topk_tok):
         # candidate sequences with the new token written at position cur
         cand_seqs = gather_beams(s.running_seqs, topk_beam, b, 2 * k)  # [B, 2K, L]
         cand_seqs = jax.lax.dynamic_update_slice_in_dim(

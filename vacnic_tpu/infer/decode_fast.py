@@ -461,6 +461,23 @@ def decode_step_pallas(
     if plan.n_lm > 0 and dp.w_lm is None:
         # direct callers (tests/benches) that built dp without the LM head
         dp = dp._replace(**dict(zip(("w_lm", "b_lm"), build_lm_head(params, dtype))))
+    logits_p, x_out, new_cache = _stack_body(dp, params, cache, x, pos,
+                                             enc_mask_bias, cfg, plan, interpret)
+    if plan.n_lm > 0:
+        # LM head ran in-kernel over the padded vocab; drop the pad columns
+        logits = logits_p[:, :params["shared"]["weight"].shape[0]]
+    else:
+        w_lm = params["shared"]["weight"].astype(dtype)
+        logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
+        logits = logits + params["final_logits_bias"].astype(jnp.float32)
+    return logits, new_cache
+
+
+def _stack_body(dp, params, cache, x, pos, enc_mask_bias, cfg, plan, interpret):
+    """Shared fused-stack step: kernel call + cache row write."""
+    from vacnic_tpu.kernels.decode_layer import decode_stack
+
+    bk = x.shape[0]
     bkc = bk // plan.n_self
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
     group = (jnp.arange(bk, dtype=jnp.int32) // bkc) * bkc
@@ -476,12 +493,54 @@ def decode_step_pallas(
                                          (0, pos, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],
                                          (0, pos, 0, 0))
-    new_cache = cache._replace(self_k=new_k, self_v=new_v, pos=pos)
-    if plan.n_lm > 0:
-        # LM head ran in-kernel over the padded vocab; drop the pad columns
-        logits = logits_p[:, :params["shared"]["weight"].shape[0]]
-    else:
-        w_lm = params["shared"]["weight"].astype(dtype)
-        logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
-        logits = logits + params["final_logits_bias"].astype(jnp.float32)
-    return logits, new_cache
+    return logits_p, x_out, cache._replace(self_k=new_k, self_v=new_v, pos=pos)
+
+
+def decode_step_pallas_stats(
+    dp: DecodeParams,
+    params: Params,
+    cache: DecodeCache,
+    tok: jax.Array,
+    pos: jax.Array,
+    enc_mask_bias: jax.Array,
+    cfg: BartConfig,
+    dtype=jnp.bfloat16,
+    plan=None,
+    interpret: bool = False,
+    shortlist_c: int = 16,
+):
+    """decode_step_pallas with the XLA LM head replaced by the fused
+    lm_stats kernel (kernels/lm_stats): one pass computes the f32 logits
+    PLUS the per-block max and lse partials, so the beam shortlist's
+    full-width logsumexp and row top-C passes disappear.
+
+    Returns (logits_padded [BK, Vp] f32, cand_vals [BK, C], cand_idx
+    [BK, C], lse [BK], new_cache) — the beam_search `step_stats_fn`
+    contract. Requires a plan with n_lm == 0 (the in-kernel LM head and the
+    stats head are alternatives)."""
+    from vacnic_tpu.kernels.lm_stats import lm_stats, lm_stats_topk
+
+    interpret = interpret or jax.default_backend() == "cpu"
+    dec = params["decoder"]
+    d = cfg.d_model
+    x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(dtype)
+    scale = float(d) ** 0.5 if cfg.scale_embedding else 1.0
+    x = x * scale + jnp.take(dec["embed_positions"]["weight"], pos + POS_OFFSET,
+                             axis=0).astype(dtype)
+    x = layernorm(dec["layernorm_embedding"], x).astype(jnp.bfloat16)
+
+    bk = tok.shape[0]
+    b = cache.cross_k.shape[1]
+    t_max = cache.self_k.shape[1]
+    if plan is None:
+        plan = choose_plan(bk, b, t_max, dp.w_fc1.shape[2])
+    assert plan.n_lm == 0, "stats head and in-kernel LM head are exclusive"
+    if dp.w_lm is None:
+        dp = dp._replace(**dict(zip(("w_lm", "b_lm"), build_lm_head(params, dtype))))
+    _, x_out, new_cache = _stack_body(dp, params, cache, x, pos,
+                                      enc_mask_bias, cfg, plan, interpret)
+    logits_p, m, s = lm_stats(x_out.astype(jnp.bfloat16), dp.w_lm, dp.b_lm,
+                              interpret=interpret)
+    v = params["shared"]["weight"].shape[0]
+    cv, ci, lse = lm_stats_topk(logits_p, m, s, shortlist_c, v)
+    return logits_p, cv, ci, lse, new_cache

@@ -115,6 +115,28 @@ def _decode_from_encoder(
         def step_fn(tok, cache, pos):
             return DF.decode_step(dp, params, cache, tok, pos, enc_bias, cfg, dtype)
 
+    # fused LM-stats head (kernels/lm_stats): computes the beam shortlist's
+    # per-row top-C and logsumexp inside the LM matmul's epilogue, removing
+    # the two full-width [BK, 50k] passes from the beam logic. Opt-in until
+    # measured on chip (VACNIC_LM_STATS=1); shortlist-path only, exclusive
+    # with the in-kernel LM head.
+    step_stats_fn = None
+    shortlist_c = max(2 * k + 6, 16)
+    if (use_pallas and kp == k and plan is not None and plan.n_lm == 0
+            and os.environ.get("VACNIC_LM_STATS") == "1"):
+        from vacnic_tpu.kernels.lm_stats import VBLOCK
+
+        vp = -(-params["shared"]["weight"].shape[0] // 4096) * 4096
+        if shortlist_c <= vp // VBLOCK:
+            if dp.w_lm is None:
+                dp = dp._replace(**dict(zip(
+                    ("w_lm", "b_lm"), DF.build_lm_head(params, dtype))))
+
+            def step_stats_fn(tok, cache, pos):
+                return DF.decode_step_pallas_stats(
+                    dp, params, cache, tok, pos, enc_bias, cfg, dtype,
+                    plan=plan, shortlist_c=shortlist_c)
+
     def reorder_cache_fn(cache, flat_sel):
         # Pallas path: beam select recomposes the [T, BK] ancestry matrix —
         # the raw self cache is write-once per row and never gathered.
@@ -148,6 +170,7 @@ def _decode_from_encoder(
         forced_bos_token_id=cfg.forced_bos_token_id,
         vocab_size=params["shared"]["weight"].shape[0],
         reorder_cache_fn=reorder_cache_fn,
+        step_stats_fn=step_stats_fn,
     )
 
 

@@ -1,0 +1,122 @@
+"""LM-head-with-statistics Pallas kernel: logits + per-block max + lse
+partials in one pass.
+
+Why: at decode batch 256 the beam logic costs ~6.4 ms/step after the
+shortlist rewrite (docs/decode_budget.md) — the remaining full-width work
+is the logsumexp reduction and the per-row top-16 over the [B·K, 50k]
+logits the XLA LM head wrote to HBM. Both are *statistics of the logits
+rows* that the LM matmul already has in registers block by block, so this
+kernel fuses them into the matmul epilogue: per vocab block it writes the
+f32 logits (needed by the exact certificate-fallback path and the forced
+steps), the block max `m` (drives BOTH the exact block-pigeonhole top-C
+and the lse max), and the exp-sum partial `s = Σ exp(y − m)`. The VPU
+exp/max work hides under the MXU matmul; the extra HBM traffic is ~50
+lanes per row instead of two more full 257 MB passes.
+
+Stage 2 (`lm_stats_topk`, plain XLA, all small): combine (m, s) into the
+exact-within-f32 lse, pick the top-C vocab blocks per row (every block
+holding a top-C value must rank top-C by max — pigeonhole), gather those
+C blocks from the logits and re-rank. Ties: block ids are sorted ascending
+before the gather, so position order in the gathered array is global index
+order and `top_k`'s lowest-index tie-break matches a direct full-width
+`top_k`.
+
+Reference behavior: the LM projection with `final_logits_bias`
+(/root/reference/src/models/modeling_mmbart...crossattn.py:1884-1885,
+:1997); the statistics feed the HF-4.18-semantics beam search
+(infer/beam_search).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+VBLOCK = 1024  # vocab block width (lanes); also the top-C block granularity
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref):
+    x = x_ref[...]  # [rb, D] bf16
+    w = w_ref[...]  # [VBLOCK, D] bf16
+    y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b_ref[...]  # [1, VBLOCK] f32 (pad columns carry -1e9)
+    out_ref[...] = y
+    m = jnp.max(y, axis=-1, keepdims=True)  # [rb, 1]
+    m_ref[...] = m
+    s_ref[...] = jnp.sum(jnp.exp(y - m), axis=-1, keepdims=True)
+
+
+def _pick_rows(bk: int) -> int:
+    """Largest row-block <= 512 dividing BK with 8-aligned sublanes."""
+    for rb in (512, 320, 256, 160, 128, 64, 40, 32, 16, 8):
+        if bk % rb == 0:
+            return rb
+    return bk
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lm_stats(x: jax.Array, w_lm: jax.Array, b_lm: jax.Array,
+             *, interpret: bool = False):
+    """(logits [BK, Vp] f32, m [BK, Vp/VBLOCK] f32, s [BK, Vp/VBLOCK] f32).
+
+    `w_lm`/`b_lm` from infer.decode_fast.build_lm_head: [Vp, D] bf16 with
+    zero pad rows and [1, Vp] f32 with -1e9 pad bias (Vp a multiple of
+    4096, hence of VBLOCK)."""
+    bk, d = x.shape
+    vp = w_lm.shape[0]
+    assert vp % VBLOCK == 0, (vp, VBLOCK)
+    nvb = vp // VBLOCK
+    rb = _pick_rows(bk)
+    nr = bk // rb
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(nr, nvb),
+        in_specs=[
+            pl.BlockSpec((rb, d), lambda i, j: (i, 0)),       # x
+            pl.BlockSpec((VBLOCK, d), lambda i, j: (j, 0)),   # w_lm
+            pl.BlockSpec((1, VBLOCK), lambda i, j: (0, j)),   # b_lm
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, VBLOCK), lambda i, j: (i, j)),  # logits
+            pl.BlockSpec((rb, 1), lambda i, j: (i, j)),       # m
+            pl.BlockSpec((rb, 1), lambda i, j: (i, j)),       # s
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bk, vp), jnp.float32),
+            jax.ShapeDtypeStruct((bk, nvb), jnp.float32),
+            jax.ShapeDtypeStruct((bk, nvb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w_lm, b_lm)
+    return tuple(out)
+
+
+def lm_stats_topk(logits: jax.Array, m: jax.Array, s: jax.Array, C: int,
+                  vocab_size: int):
+    """(cand_vals [BK, C], cand_idx [BK, C], lse [BK]) from lm_stats output.
+
+    Exact top-C (pigeonhole over VBLOCK-wide blocks, tie-faithful via the
+    ascending block-id sort); lse combines the per-block partials —
+    bit-identical to a full-width logsumexp up to f32 summation order.
+    Requires C <= number of vocab blocks. Pad columns sit at -1e9 and can
+    never enter the top-C, so cand_idx < vocab_size always."""
+    bk, nvb = m.shape
+    assert C <= nvb, (C, nvb)
+    big = jnp.max(m, axis=-1)  # [BK]
+    lse = jnp.log(jnp.sum(s * jnp.exp(m - big[:, None]), axis=-1)) + big
+
+    _, bid = jax.lax.top_k(m, C)  # [BK, C] best blocks
+    bid = jnp.sort(bid, axis=-1)  # ascending -> global-index tie order
+    r3 = logits.reshape(bk, nvb, VBLOCK)
+    g = jnp.take_along_axis(r3, bid[:, :, None], axis=1)  # [BK, C, VBLOCK]
+    cv, loc = jax.lax.top_k(g.reshape(bk, C * VBLOCK), C)
+    gidx = (bid[:, :, None] * VBLOCK
+            + jnp.arange(VBLOCK, dtype=bid.dtype)[None, None, :]
+            ).reshape(bk, C * VBLOCK)
+    ci = jnp.take_along_axis(gidx, loc, axis=1)
+    return cv, ci, lse

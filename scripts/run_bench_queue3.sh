@@ -1,5 +1,6 @@
 #!/bin/bash
-# Queue 3 (post-chip-recovery): LM-stats A/B at b256, b512 probe, confirm run.
+# Queue 3 (post-chip-recovery): lm_stats smoke, stats A/B at b256, default
+# confirm, b512 probe, b64 stats-vs-inkernel-LM A/B.
 SNAP=${1:?snapshot dir}
 LOG=/root/repo/scripts/logs_r3/bench_queue3.log
 cd "$SNAP"
@@ -10,10 +11,10 @@ run() {
   timeout "$to" "$@" >> "$LOG" 2>&1
   echo "=== $name rc=$? end $(date +%H:%M:%S) ===" >> "$LOG"
 }
-# 1. stats head A/B (biggest expected win first)
+run smoke_lm_stats 570 python scripts/smoke_lm_stats.py
 VACNIC_LM_STATS=1 BENCH_LATENCY=0 run bench_b256_stats 1140 python bench.py
-# 2. same-window default confirm
 BENCH_LATENCY=0 run bench_b256_default 1140 python bench.py
-# 3. b512 with whichever defaults (stats off; separate A/B later)
 BENCH_BATCH=512 BENCH_LATENCY=0 run bench_b512 1140 python bench.py
+VACNIC_LM_STATS=1 VACNIC_PLAN_NLM=0 BENCH_BATCH=64 BENCH_LATENCY=0 \
+  run bench_b64_stats 1140 python bench.py
 echo ALL_DONE_QUEUE3 >> "$LOG"

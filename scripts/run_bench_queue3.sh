@@ -5,6 +5,11 @@ SNAP=${1:?snapshot dir}
 LOG=/root/repo/scripts/logs_r3/bench_queue3.log
 cd "$SNAP"
 export PYTHONPATH=$SNAP:/root/.axon_site
+# experiment: persistent compilation cache (if the axon PJRT plugin supports
+# executable serialization this makes re-runs compile-free; harmless if not)
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=10
+mkdir -p /root/repo/.jax_cache
 run() {
   name=$1; to=$2; shift 2
   echo "=== $name start $(date +%H:%M:%S) ===" >> "$LOG"

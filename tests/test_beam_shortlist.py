@@ -249,3 +249,42 @@ def test_blockmax_gate_small_vocab(monkeypatch):
             vocab_size=4096, reorder_cache_fn=lambda c, sel: c)
         outs.append((np.asarray(seqs), np.asarray(scores)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
+
+
+def test_shortlist_certificate_fallback_direct(monkeypatch):
+    """Direct certificate-failure construction for the shortlist: a row
+    whose engineered ngram bans exceed the C-2K tolerance must fall back to
+    (and exactly match) the full-width path."""
+    monkeypatch.delenv("VACNIC_BEAM_TOPK", raising=False)
+    k, vb = 2, 600
+    cfg = DecodeConfig(num_beams=k, max_length=16, length_penalty=1.0,
+                       early_stopping=True, no_repeat_ngram_size=2,
+                       forced_eos=False)
+    # generated prefix ends in token 5; earlier "5 x" bigrams ban x=6..11
+    seq = [2, 5, 6, 5, 7, 5, 8, 5, 9, 5, 10, 5, 11, 5, 1, 1]
+    seqs = jnp.array([[seq, seq]], jnp.int32)  # [1, K, L]
+    cur = jnp.int32(14)  # last generated token = seqs[..., 13] = 5
+    logits = jax.random.normal(jax.random.PRNGKey(0), (k, vb))
+    # the six banned tokens get the TOP logits -> 6 hits in the top-C
+    logits = logits.at[:, 6:12].add(30.0)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    state = BS.BeamState(
+        cur_len=cur, running_seqs=seqs,
+        running_scores=jnp.array([[0.0, -1.0]], jnp.float32),
+        finished_seqs=seqs,
+        finished_scores=jnp.full((1, k), BS.NEG_INF, jnp.float32),
+        finished_flags=jnp.zeros((1, k), bool),
+        done=jnp.zeros((1,), bool), cache=None)
+
+    def full_fn(lg, ls, st, cu):
+        return BS.candidates_full(lg, ls, st, cu, cfg=cfg, b=1, k=k,
+                                  vocab_size=vb, eos_token_id=2,
+                                  forced_bos_token_id=None)
+
+    got = BS._candidates_shortlist(
+        logits, lse, state, cur, cfg=cfg, b=1, k=k, vocab_size=vb,
+        eos_token_id=2, forced_bos_token_id=None, full_fn=full_fn,
+        C=2 * k + 1)  # tolerance 1 < 6 bans -> certificate MUST fail
+    want = full_fn(logits, lse, state, cur)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

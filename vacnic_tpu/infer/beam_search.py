@@ -328,7 +328,10 @@ def _candidates_opt(logits, lse, s, cur, *, cfg, b, k, vocab_size,
     banned = _banned_token_list(s, cur, cfg=cfg, eos_token_id=eos_token_id)
 
     def optimistic(_):
-        w = max(OPT_WINDOW, 2 * k + 8)  # tolerance >= 8 bans at any beam width
+        # window must exceed 2K (top_k k <= axis size; tolerance = w - 2K);
+        # an explicitly-valid OPT_WINDOW is respected (tests shrink it to
+        # force the certificate fallback), otherwise widen with the beams
+        w = OPT_WINDOW if OPT_WINDOW > 2 * k else 2 * k + 8
         flat = total.reshape(b, k * vocab_size)
         ts, ti = jax.lax.top_k(flat, w)  # [B, W]
         tbeam = ti // vocab_size
@@ -360,6 +363,64 @@ def _candidates_opt(logits, lse, s, cur, *, cfg, b, k, vocab_size,
             eos_token_id=eos_token_id,
             forced_bos_token_id=forced_bos_token_id),
         optimistic, None)
+
+
+def candidates_full(logits, lse, s, cur, *, cfg, b, k, vocab_size,
+                    eos_token_id, forced_bos_token_id):
+    """Reference full-width pipeline: materialize total [B, K, V], apply
+    processors over the whole vocab, single top-2K over K·V lanes.
+    MEASURED (r3, b128): chunked variants are a big LOSS on this backend
+    — 3D stage-1 collapsed the bench 123→73 cps and even 2D [B·nc, 4096]
+    chunking read 9.9 ms/step vs 4.1 for the single wide call; TPU
+    TopK's fast path handles [128, 251335] k=10 best.
+    VACNIC_CHUNKED_TOPK=1 keeps the chunked path for future-backend A/B."""
+    import os as _os
+
+    L = cfg.max_length
+    logits = unflatten_beam_dim(logits, b, k)  # [B, K, V]
+    shift = s.running_scores - unflatten_beam_dim(lse, b, k)
+    total = logits + shift[:, :, None]  # [B, K, V] = logprobs + scores
+
+    # logits processors (HF order; forced_bos overrides last), applied
+    # in the shifted (score-added) domain: a ban that set
+    # logprob=NEG_INF becomes total=score+NEG_INF, identical to the
+    # unshifted formulation
+    banned_total = s.running_scores[:, :, None] + NEG_INF
+    if cfg.min_length > 0:
+        total = jnp.where(
+            (cur < cfg.min_length)
+            & (jnp.arange(vocab_size)[None, None, :] == eos_token_id),
+            banned_total,
+            total,
+        )
+    if cfg.no_repeat_ngram_size > 0:
+        total = _apply_no_repeat_ngram(s.running_seqs, cur, total,
+                                       cfg.no_repeat_ngram_size,
+                                       ban_value=banned_total)
+    if forced_bos_token_id is not None:
+        # forced token's logprob is 0 → total = running score exactly
+        is_first = cur == 1
+        forced = jnp.where(
+            jnp.arange(vocab_size)[None, None, :] == forced_bos_token_id,
+            s.running_scores[:, :, None], banned_total,
+        )
+        total = jnp.where(is_first, forced, total)
+    if cfg.forced_eos:
+        # ForcedEOSTokenLogitsProcessor: at max_length-1 all mass on eos
+        # with score 0 (BartConfig default forced_eos_token_id).
+        is_last = cur == L - 1
+        forced = jnp.where(
+            jnp.arange(vocab_size)[None, None, :] == eos_token_id,
+            s.running_scores[:, :, None], banned_total,
+        )
+        total = jnp.where(is_last, forced, total)
+
+    flat = total.reshape(b, k * vocab_size)
+    if _os.environ.get("VACNIC_CHUNKED_TOPK", "0") == "1":
+        topk_scores, topk_idx = chunked_top_k(flat, 2 * k)  # [B, 2K]
+    else:
+        topk_scores, topk_idx = jax.lax.top_k(flat, 2 * k)
+    return topk_scores, topk_idx // vocab_size, topk_idx % vocab_size
 
 
 def beam_search(
@@ -438,57 +499,10 @@ def beam_search(
         cand_mode = "shortlist" if big_vocab else "full"
 
     def _candidates_full(logits, lse, s, cur):
-        """Reference full-width pipeline: materialize total [B, K, V], apply
-        processors over the whole vocab, single top-2K over K·V lanes.
-        MEASURED (r3, b128): chunked variants are a big LOSS on this backend
-        — 3D stage-1 collapsed the bench 123→73 cps and even 2D [B·nc, 4096]
-        chunking read 9.9 ms/step vs 4.1 for the single wide call; TPU
-        TopK's fast path handles [128, 251335] k=10 best.
-        VACNIC_CHUNKED_TOPK=1 keeps the chunked path for future-backend A/B."""
-        logits = unflatten_beam_dim(logits, b, k)  # [B, K, V]
-        shift = s.running_scores - unflatten_beam_dim(lse, b, k)
-        total = logits + shift[:, :, None]  # [B, K, V] = logprobs + scores
-
-        # logits processors (HF order; forced_bos overrides last), applied
-        # in the shifted (score-added) domain: a ban that set
-        # logprob=NEG_INF becomes total=score+NEG_INF, identical to the
-        # unshifted formulation
-        banned_total = s.running_scores[:, :, None] + NEG_INF
-        if cfg.min_length > 0:
-            total = jnp.where(
-                (cur < cfg.min_length)
-                & (jnp.arange(vocab_size)[None, None, :] == eos_token_id),
-                banned_total,
-                total,
-            )
-        if cfg.no_repeat_ngram_size > 0:
-            total = _apply_no_repeat_ngram(s.running_seqs, cur, total,
-                                           cfg.no_repeat_ngram_size,
-                                           ban_value=banned_total)
-        if forced_bos_token_id is not None:
-            # forced token's logprob is 0 → total = running score exactly
-            is_first = cur == 1
-            forced = jnp.where(
-                jnp.arange(vocab_size)[None, None, :] == forced_bos_token_id,
-                s.running_scores[:, :, None], banned_total,
-            )
-            total = jnp.where(is_first, forced, total)
-        if cfg.forced_eos:
-            # ForcedEOSTokenLogitsProcessor: at max_length-1 all mass on eos
-            # with score 0 (BartConfig default forced_eos_token_id).
-            is_last = cur == L - 1
-            forced = jnp.where(
-                jnp.arange(vocab_size)[None, None, :] == eos_token_id,
-                s.running_scores[:, :, None], banned_total,
-            )
-            total = jnp.where(is_last, forced, total)
-
-        flat = total.reshape(b, k * vocab_size)
-        if _os.environ.get("VACNIC_CHUNKED_TOPK", "0") == "1":
-            topk_scores, topk_idx = chunked_top_k(flat, 2 * k)  # [B, 2K]
-        else:
-            topk_scores, topk_idx = jax.lax.top_k(flat, 2 * k)
-        return topk_scores, topk_idx // vocab_size, topk_idx % vocab_size
+        return candidates_full(logits, lse, s, cur, cfg=cfg, b=b, k=k,
+                               vocab_size=vocab_size,
+                               eos_token_id=eos_token_id,
+                               forced_bos_token_id=forced_bos_token_id)
 
     def cond(s: BeamState):
         return (s.cur_len < L) & ~jnp.all(s.done)

@@ -141,13 +141,10 @@ def main() -> None:
         "baseline_basis": f"estimated {REFERENCE_CAPTIONS_PER_SEC} "
                           "captions/sec (A100 batch-1 HF generate loop; "
                           "repo publishes no number — see BASELINE.md)",
-        # provenance: which perf knobs produced this number (default-empty
-        # env knobs are omitted; "auto" = code-chosen default)
-        "knobs": {k: os.environ[k] for k in (
-            "VACNIC_PALLAS_DECODE", "VACNIC_PALLAS_ENCODER", "VACNIC_LM_STATS",
-            "VACNIC_BEAM_LOGIC", "VACNIC_BEAM_TOPK", "VACNIC_CROSSKV_INT8",
-            "VACNIC_PLAN_NSELF", "VACNIC_PLAN_NT", "VACNIC_PLAN_NLM",
-        ) if k in os.environ},
+        # provenance: every VACNIC_* env knob active for this run (absent
+        # knobs = code-chosen defaults)
+        "knobs": {k: v for k, v in sorted(os.environ.items())
+                  if k.startswith("VACNIC_")},
     }
 
     # batch-1 latency: the reference's own measurement basis is batch 1

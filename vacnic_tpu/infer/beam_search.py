@@ -161,6 +161,8 @@ def row_topk_blockmax(logits: jax.Array, C: int, blk: int = 128):
     order IS global index order and top_k's lowest-index tie-break carries
     over. Env-selected alternative to the plain row top-k
     (VACNIC_BEAM_TOPK=blockmax) for backend A/B."""
+    from vacnic_tpu.kernels.lm_stats import gather_rerank
+
     rows, n = logits.shape
     nb = -(-n // blk)
     if nb * blk != n:
@@ -169,13 +171,7 @@ def row_topk_blockmax(logits: jax.Array, C: int, blk: int = 128):
     r3 = logits.reshape(rows, nb, blk)
     bm = r3.max(axis=-1)  # [rows, nb]
     _, bid = jax.lax.top_k(bm, C)
-    bid = jnp.sort(bid, axis=-1)  # ascending → global-index tie order
-    g = jnp.take_along_axis(r3, bid[:, :, None], axis=1)  # [rows, C, blk]
-    cv, loc = jax.lax.top_k(g.reshape(rows, C * blk), C)
-    gidx = (bid[:, :, None] * blk
-            + jnp.arange(blk)[None, None, :]).reshape(rows, C * blk)
-    ci = jnp.take_along_axis(gidx, loc, axis=1)
-    return cv, ci
+    return gather_rerank(r3, bid, C)
 
 
 def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
@@ -423,6 +419,23 @@ def candidates_full(logits, lse, s, cur, *, cfg, b, k, vocab_size,
     return topk_scores, topk_idx // vocab_size, topk_idx % vocab_size
 
 
+def resolve_cand_mode(cfg: DecodeConfig, vocab_size: int) -> str:
+    """The candidate-selection mode beam_search will use (pure env + config
+    logic, exposed so callers — e.g. the fused LM-stats gate in
+    infer/generate — can check it BEFORE building mode-specific inputs)."""
+    import os as _os
+
+    mode = _os.environ.get("VACNIC_BEAM_LOGIC")
+    if mode is None and _os.environ.get("VACNIC_BEAM_SHORTLIST") == "1":
+        mode = "shortlist"
+    if mode is None and _os.environ.get("VACNIC_BEAM_SHORTLIST") == "0":
+        mode = "full"
+    if mode is not None:
+        return mode
+    big_vocab = vocab_size >= 8 * (shortlist_width(cfg) + 2)
+    return "shortlist" if big_vocab else "full"
+
+
 def beam_search(
     step_fn: Callable[[jax.Array, Any, jax.Array], tuple[jax.Array, Any]],
     init_cache: Any,
@@ -485,18 +498,7 @@ def beam_search(
     # Auto: shortlist when the vocab dwarfs the shortlist margin (real 50k
     # vocab yes; tiny hand-built test vocabs no — those pin tie-break
     # semantics the full path defines).
-    import os as _os
-
-    _mode_env = _os.environ.get("VACNIC_BEAM_LOGIC")
-    if _mode_env is None and _os.environ.get("VACNIC_BEAM_SHORTLIST") == "1":
-        _mode_env = "shortlist"
-    if _mode_env is None and _os.environ.get("VACNIC_BEAM_SHORTLIST") == "0":
-        _mode_env = "full"
-    if _mode_env is not None:
-        cand_mode = _mode_env
-    else:
-        big_vocab = vocab_size >= 8 * (shortlist_width(cfg) + 2)
-        cand_mode = "shortlist" if big_vocab else "full"
+    cand_mode = resolve_cand_mode(cfg, vocab_size)
 
     def _candidates_full(logits, lse, s, cur):
         return candidates_full(logits, lse, s, cur, cfg=cfg, b=b, k=k,

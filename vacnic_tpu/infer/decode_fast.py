@@ -444,20 +444,7 @@ def decode_step_pallas(
 
     # Mosaic targets TPU; on CPU (tests, BENCH_TINY smoke) run interpreted
     interpret = interpret or jax.default_backend() == "cpu"
-    dec = params["decoder"]
-    d = cfg.d_model
-    x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(dtype)
-    scale = float(d) ** 0.5 if cfg.scale_embedding else 1.0
-    x = x * scale + jnp.take(dec["embed_positions"]["weight"], pos + POS_OFFSET,
-                             axis=0).astype(dtype)
-    x = layernorm(dec["layernorm_embedding"], x).astype(jnp.bfloat16)
-
-    bk = tok.shape[0]
-    b = cache.cross_k.shape[1]
-    beams = bk // b
-    t_max = cache.self_k.shape[1]  # time-major cache: [L, T, BK, D]
-    if plan is None:
-        plan = choose_plan(bk, b, t_max, dp.w_fc1.shape[2])
+    x, plan = _embed_and_plan(dp, params, cache, tok, pos, cfg, dtype, plan)
     if plan.n_lm > 0 and dp.w_lm is None:
         # direct callers (tests/benches) that built dp without the LM head
         dp = dp._replace(**dict(zip(("w_lm", "b_lm"), build_lm_head(params, dtype))))
@@ -471,6 +458,25 @@ def decode_step_pallas(
         logits = jnp.dot(x_out, w_lm.T, preferred_element_type=jnp.float32)
         logits = logits + params["final_logits_bias"].astype(jnp.float32)
     return logits, new_cache
+
+
+def _embed_and_plan(dp, params, cache, tok, pos, cfg, dtype, plan):
+    """Shared kernel-path preamble: token+position embed + layernorm and the
+    ChunkPlan resolution (used by decode_step_pallas and the stats variant,
+    so the embedding path can never desynchronize between them)."""
+    dec = params["decoder"]
+    d = cfg.d_model
+    x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(dtype)
+    scale = float(d) ** 0.5 if cfg.scale_embedding else 1.0
+    x = x * scale + jnp.take(dec["embed_positions"]["weight"], pos + POS_OFFSET,
+                             axis=0).astype(dtype)
+    x = layernorm(dec["layernorm_embedding"], x).astype(jnp.bfloat16)
+    if plan is None:
+        bk = tok.shape[0]
+        b = cache.cross_k.shape[1]
+        t_max = cache.self_k.shape[1]  # time-major cache: [L, T, BK, D]
+        plan = choose_plan(bk, b, t_max, dp.w_fc1.shape[2])
+    return x, plan
 
 
 def _stack_body(dp, params, cache, x, pos, enc_mask_bias, cfg, plan, interpret):
@@ -521,19 +527,7 @@ def decode_step_pallas_stats(
     from vacnic_tpu.kernels.lm_stats import lm_stats, lm_stats_topk
 
     interpret = interpret or jax.default_backend() == "cpu"
-    dec = params["decoder"]
-    d = cfg.d_model
-    x = jnp.take(params["shared"]["weight"], tok[:, 0], axis=0).astype(dtype)
-    scale = float(d) ** 0.5 if cfg.scale_embedding else 1.0
-    x = x * scale + jnp.take(dec["embed_positions"]["weight"], pos + POS_OFFSET,
-                             axis=0).astype(dtype)
-    x = layernorm(dec["layernorm_embedding"], x).astype(jnp.bfloat16)
-
-    bk = tok.shape[0]
-    b = cache.cross_k.shape[1]
-    t_max = cache.self_k.shape[1]
-    if plan is None:
-        plan = choose_plan(bk, b, t_max, dp.w_fc1.shape[2])
+    x, plan = _embed_and_plan(dp, params, cache, tok, pos, cfg, dtype, plan)
     assert plan.n_lm == 0, "stats head and in-kernel LM head are exclusive"
     if dp.w_lm is None:
         dp = dp._replace(**dict(zip(("w_lm", "b_lm"), build_lm_head(params, dtype))))

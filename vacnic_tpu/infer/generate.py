@@ -122,12 +122,18 @@ def _decode_from_encoder(
     # with the in-kernel LM head.
     step_stats_fn = None
     shortlist_c = max(2 * k + 6, 16)
-    if (use_pallas and kp == k and plan is not None and plan.n_lm == 0
-            and os.environ.get("VACNIC_LM_STATS") == "1"):
+    if os.environ.get("VACNIC_LM_STATS") == "1":
         from vacnic_tpu.kernels.lm_stats import VBLOCK
 
+        from vacnic_tpu.infer.beam_search import resolve_cand_mode
+
         vp = -(-params["shared"]["weight"].shape[0] // 4096) * 4096
-        if shortlist_c <= vp // VBLOCK:
+        eligible = (use_pallas and kp == k and plan is not None
+                    and plan.n_lm == 0 and shortlist_c <= vp // VBLOCK
+                    and resolve_cand_mode(
+                        dcfg, params["shared"]["weight"].shape[0])
+                    == "shortlist")
+        if eligible:
             if dp.w_lm is None:
                 dp = dp._replace(**dict(zip(
                     ("w_lm", "b_lm"), DF.build_lm_head(params, dtype))))
@@ -136,6 +142,16 @@ def _decode_from_encoder(
                 return DF.decode_step_pallas_stats(
                     dp, params, cache, tok, pos, enc_bias, cfg, dtype,
                     plan=plan, shortlist_c=shortlist_c)
+        else:
+            # say so: a bench with VACNIC_LM_STATS=1 but e.g. an in-kernel
+            # LM plan (n_lm>0) or a forced non-shortlist beam mode would
+            # otherwise silently record a knob the run never used
+            import sys as _sys
+
+            print("vacnic: VACNIC_LM_STATS=1 ignored (pallas="
+                  f"{use_pallas}, padded_beams={kp != k}, "
+                  f"n_lm={getattr(plan, 'n_lm', None)}, "
+                  "mode!=shortlist or vocab blocks < C)", file=_sys.stderr)
 
     def reorder_cache_fn(cache, flat_sel):
         # Pallas path: beam select recomposes the [T, BK] ancestry matrix —

@@ -96,27 +96,40 @@ def lm_stats(x: jax.Array, w_lm: jax.Array, b_lm: jax.Array,
     return tuple(out)
 
 
+def gather_rerank(r3: jax.Array, bid: jax.Array, C: int):
+    """Block-pigeonhole stage 2: gather the top-C blocks of r3 [rows, nb,
+    blk] (bid [rows, C]) and re-rank to the exact tie-faithful top-C.
+    Block ids are sorted ascending first, so position order in the gathered
+    array IS global index order and top_k's lowest-index tie-break matches
+    a direct full-width top_k. Shared by beam_search.row_topk_blockmax and
+    lm_stats_topk — the tie-break argument lives exactly once."""
+    rows, nb, blk = r3.shape
+    bid = jnp.sort(bid, axis=-1)
+    g = jnp.take_along_axis(r3, bid[:, :, None], axis=1)  # [rows, C, blk]
+    cv, loc = jax.lax.top_k(g.reshape(rows, C * blk), C)
+    gidx = (bid[:, :, None] * blk
+            + jnp.arange(blk, dtype=bid.dtype)[None, None, :]
+            ).reshape(rows, C * blk)
+    ci = jnp.take_along_axis(gidx, loc, axis=1)
+    return cv, ci
+
+
 def lm_stats_topk(logits: jax.Array, m: jax.Array, s: jax.Array, C: int,
                   vocab_size: int):
     """(cand_vals [BK, C], cand_idx [BK, C], lse [BK]) from lm_stats output.
 
-    Exact top-C (pigeonhole over VBLOCK-wide blocks, tie-faithful via the
-    ascending block-id sort); lse combines the per-block partials —
-    bit-identical to a full-width logsumexp up to f32 summation order.
-    Requires C <= number of vocab blocks. Pad columns sit at -1e9 and can
-    never enter the top-C, so cand_idx < vocab_size always."""
+    Exact top-C (pigeonhole over VBLOCK-wide blocks, tie-faithful via
+    gather_rerank); lse combines the per-block partials — bit-identical to
+    a full-width logsumexp up to f32 summation order. Requires C <= number
+    of vocab blocks. Pad columns sit at -1e9 (build_lm_head convention) and
+    additionally any out-of-vocab index is masked to -inf here, so
+    cand_idx >= vocab_size can never be selected downstream."""
     bk, nvb = m.shape
     assert C <= nvb, (C, nvb)
     big = jnp.max(m, axis=-1)  # [BK]
     lse = jnp.log(jnp.sum(s * jnp.exp(m - big[:, None]), axis=-1)) + big
 
     _, bid = jax.lax.top_k(m, C)  # [BK, C] best blocks
-    bid = jnp.sort(bid, axis=-1)  # ascending -> global-index tie order
-    r3 = logits.reshape(bk, nvb, VBLOCK)
-    g = jnp.take_along_axis(r3, bid[:, :, None], axis=1)  # [BK, C, VBLOCK]
-    cv, loc = jax.lax.top_k(g.reshape(bk, C * VBLOCK), C)
-    gidx = (bid[:, :, None] * VBLOCK
-            + jnp.arange(VBLOCK, dtype=bid.dtype)[None, None, :]
-            ).reshape(bk, C * VBLOCK)
-    ci = jnp.take_along_axis(gidx, loc, axis=1)
+    cv, ci = gather_rerank(logits.reshape(bk, nvb, VBLOCK), bid, C)
+    cv = jnp.where(ci < vocab_size, cv, -jnp.inf)
     return cv, ci, lse

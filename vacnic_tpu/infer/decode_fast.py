@@ -153,6 +153,16 @@ def build_lm_head(params: Params, dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Ar
     return w_lm, b_lm
 
 
+def ensure_lm_head(dp: "DecodeParams", params: Params,
+                   dtype=jnp.bfloat16) -> "DecodeParams":
+    """dp with w_lm/b_lm materialized (lazy — the ~104 MB padded duplicate
+    is only built when an LM-consuming path is actually selected)."""
+    if dp.w_lm is None:
+        dp = dp._replace(**dict(zip(("w_lm", "b_lm"),
+                                    build_lm_head(params, dtype))))
+    return dp
+
+
 def build_decode_params(params: Params, dtype=jnp.bfloat16,
                         with_lm_head: bool = True) -> DecodeParams:
     layers = params["decoder"]["layers"]
@@ -440,14 +450,12 @@ def decode_step_pallas(
     (build_decode_cache(..., pad_to=16, time_major=True)): each step writes
     its K/V row into the raw cache at `pos`; the paired beam reorder is
     `reorder_anc` (index recompose — no cache gather)."""
-    from vacnic_tpu.kernels.decode_layer import ChunkPlan, decode_stack
-
     # Mosaic targets TPU; on CPU (tests, BENCH_TINY smoke) run interpreted
     interpret = interpret or jax.default_backend() == "cpu"
     x, plan = _embed_and_plan(dp, params, cache, tok, pos, cfg, dtype, plan)
-    if plan.n_lm > 0 and dp.w_lm is None:
+    if plan.n_lm > 0:
         # direct callers (tests/benches) that built dp without the LM head
-        dp = dp._replace(**dict(zip(("w_lm", "b_lm"), build_lm_head(params, dtype))))
+        dp = ensure_lm_head(dp, params, dtype)
     logits_p, x_out, new_cache = _stack_body(dp, params, cache, x, pos,
                                              enc_mask_bias, cfg, plan, interpret)
     if plan.n_lm > 0:
@@ -528,9 +536,11 @@ def decode_step_pallas_stats(
 
     interpret = interpret or jax.default_backend() == "cpu"
     x, plan = _embed_and_plan(dp, params, cache, tok, pos, cfg, dtype, plan)
-    assert plan.n_lm == 0, "stats head and in-kernel LM head are exclusive"
-    if dp.w_lm is None:
-        dp = dp._replace(**dict(zip(("w_lm", "b_lm"), build_lm_head(params, dtype))))
+    # the stats head supersedes the in-kernel LM head; an auto-resolved plan
+    # may carry n_lm>0 (choose_plan's b64 default) — force it off rather
+    # than asserting on a default this function controls
+    plan = plan._replace(n_lm=0)
+    dp = ensure_lm_head(dp, params, dtype)
     _, x_out, new_cache = _stack_body(dp, params, cache, x, pos,
                                       enc_mask_bias, cfg, plan, interpret)
     logits_p, m, s = lm_stats(x_out.astype(jnp.bfloat16), dp.w_lm, dp.b_lm,

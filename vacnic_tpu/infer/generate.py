@@ -134,9 +134,7 @@ def _decode_from_encoder(
                         dcfg, params["shared"]["weight"].shape[0])
                     == "shortlist")
         if eligible:
-            if dp.w_lm is None:
-                dp = dp._replace(**dict(zip(
-                    ("w_lm", "b_lm"), DF.build_lm_head(params, dtype))))
+            dp = DF.ensure_lm_head(dp, params, dtype)
 
             def step_stats_fn(tok, cache, pos):
                 return DF.decode_step_pallas_stats(

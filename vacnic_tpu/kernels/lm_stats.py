@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 VBLOCK = 1024  # vocab block width (lanes); also the top-C block granularity
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref):
+def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref):  # grid (nvb, nr)
     x = x_ref[...]  # [rb, D] bf16
     w = w_ref[...]  # [VBLOCK, D] bf16
     y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
@@ -52,10 +52,11 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref):
 
 def _pick_rows(bk: int) -> int:
     """Largest row-block <= 512 dividing BK with 8-aligned sublanes."""
+    assert bk % 8 == 0, f"lm_stats needs 8-aligned rows, got bk={bk}"
     for rb in (512, 320, 256, 160, 128, 64, 40, 32, 16, 8):
         if bk % rb == 0:
             return rb
-    return bk
+    return 8
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -73,18 +74,23 @@ def lm_stats(x: jax.Array, w_lm: jax.Array, b_lm: jax.Array,
     rb = _pick_rows(bk)
     nr = bk // rb
 
+    # vocab-major grid: the row dim is innermost, so the [VBLOCK, d] weight
+    # block's index map is constant across the inner loop and each weight
+    # block streams ONCE per step (104 MB total) while the small x blocks
+    # re-stream (~136 MB at b256) — the reverse order re-fetched the whole
+    # LM weight nr times (416 MB at b256; review finding r3)
     out = pl.pallas_call(
         _kernel,
-        grid=(nr, nvb),
+        grid=(nvb, nr),
         in_specs=[
-            pl.BlockSpec((rb, d), lambda i, j: (i, 0)),       # x
-            pl.BlockSpec((VBLOCK, d), lambda i, j: (j, 0)),   # w_lm
-            pl.BlockSpec((1, VBLOCK), lambda i, j: (0, j)),   # b_lm
+            pl.BlockSpec((rb, d), lambda j, i: (i, 0)),       # x
+            pl.BlockSpec((VBLOCK, d), lambda j, i: (j, 0)),   # w_lm
+            pl.BlockSpec((1, VBLOCK), lambda j, i: (0, j)),   # b_lm
         ],
         out_specs=[
-            pl.BlockSpec((rb, VBLOCK), lambda i, j: (i, j)),  # logits
-            pl.BlockSpec((rb, 1), lambda i, j: (i, j)),       # m
-            pl.BlockSpec((rb, 1), lambda i, j: (i, j)),       # s
+            pl.BlockSpec((rb, VBLOCK), lambda j, i: (i, j)),  # logits
+            pl.BlockSpec((rb, 1), lambda j, i: (i, j)),       # m
+            pl.BlockSpec((rb, 1), lambda j, i: (i, j)),       # s
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bk, vp), jnp.float32),

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 # fused Pallas decode-stack kernel by default (kernels/decode_layer.py):
@@ -23,10 +25,88 @@ import time
 # scripts/bench_decode_kernel.py. Opt out with VACNIC_PALLAS_DECODE=0.
 os.environ.setdefault("VACNIC_PALLAS_DECODE", "1")
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Persistent compilation cache: if the PJRT plugin supports executable
+# serialization, re-runs of the same program skip the erratic remote compile
+# (45 s – 10+ min on the tunneled backend); harmless when unsupported. Must
+# be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 import jax
 import jax.numpy as jnp
 
 REFERENCE_CAPTIONS_PER_SEC = 1.4  # estimated A100 batch-1 HF-loop throughput
+
+_METRIC = "captions/sec/chip (BART-large full VACNIC, beam-5, len 50, lp 2.0)"
+
+
+def _diagnostic(error: str) -> None:
+    """Emit a parseable one-line JSON and exit 0: a down backend must produce
+    a diagnostic artifact, not an rc=1 traceback (round-3 failure mode —
+    BENCH_r03.json captured nothing and the driver kept round 2's number)."""
+    print(json.dumps({
+        "metric": _METRIC, "value": 0.0, "unit": "captions/sec/chip",
+        "vs_baseline": 0.0, "error": error[-2000:],
+    }))
+    sys.exit(0)
+
+
+def _preflight(timeout_s: float) -> tuple[bool, str]:
+    """Tiny-jit probe in a bounded subprocess (a hung remote compile cannot be
+    interrupted in-process). True = backend compiles and executes."""
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "x = jnp.ones((256, 256), jnp.bfloat16)\n"
+        "print(float(np.asarray(jax.jit(lambda a: a @ a)(x)).sum()))\n"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], env=dict(os.environ),
+                              capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"preflight tiny-jit timed out after {timeout_s:.0f}s (compile service hung)"
+    if proc.returncode != 0:
+        return False, f"preflight rc={proc.returncode}: {proc.stderr[-800:]}"
+    return True, ""
+
+
+def _orchestrate() -> None:
+    """Outage-resilient wrapper: preflight the backend, run the measurement in
+    a bounded child process, retry across a short window, and emit a
+    diagnostic JSON on hard failure. The child re-enters this file with
+    BENCH_INNER=1 and prints the real JSON line, which is re-printed here."""
+    tries = int(os.environ.get("BENCH_PREFLIGHT_TRIES", "3"))
+    pf_timeout = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "150"))
+    run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT", "2400"))
+    sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "90"))
+    last_err = "no attempt ran"
+    env = dict(os.environ)
+    env["BENCH_INNER"] = "1"
+    for attempt in range(tries):
+        if attempt:
+            time.sleep(sleep_s)
+        ok, err = _preflight(pf_timeout)
+        if not ok:
+            last_err = err
+            sys.stderr.write(f"[bench] attempt {attempt + 1}/{tries}: {err}\n")
+            continue
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, cwd=_REPO, capture_output=True,
+                                  text=True, timeout=run_timeout)
+        except subprocess.TimeoutExpired:
+            last_err = f"measurement timed out after {run_timeout:.0f}s"
+            sys.stderr.write(f"[bench] attempt {attempt + 1}/{tries}: {last_err}\n")
+            continue
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        last_err = (f"measurement rc={proc.returncode}; stderr: "
+                    f"{proc.stderr[-800:]}")
+        sys.stderr.write(f"[bench] attempt {attempt + 1}/{tries}: {last_err}\n")
+    _diagnostic(last_err)
 
 
 def main() -> None:
@@ -164,4 +244,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # BENCH_TINY (CPU smoke) and BENCH_INNER (the orchestrator's child) run
+    # the measurement directly; a bare invocation gets the resilient wrapper.
+    # BENCH_FORCE_ORCH=1 routes even a tiny run through the orchestrator so
+    # the wrapper itself is testable on CPU (tests/test_bench_smoke.py).
+    if os.environ.get("BENCH_INNER") or (
+            os.environ.get("BENCH_TINY") and not os.environ.get("BENCH_FORCE_ORCH")):
+        main()
+    else:
+        _orchestrate()

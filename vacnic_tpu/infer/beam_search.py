@@ -240,12 +240,12 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
         lambda _: _forced_step_candidates(
             s, cur, b=b, k=k, is_fb=is_fb, is_fe=is_fe,
             eos_token_id=eos_token_id,
-            forced_bos_token_id=forced_bos_token_id),
+            forced_bos_token_id=forced_bos_token_id, vocab_size=vocab_size),
         shortlist, None)
 
 
 def _forced_step_candidates(s, cur, *, b, k, is_fb, is_fe, eos_token_id,
-                            forced_bos_token_id):
+                            forced_bos_token_id, vocab_size):
     """Analytic candidates for a forced-token step (forced_bos at cur==1 /
     forced_eos at cur==L-1): the full-width path maps every token to
     total = score + NEG_INF except the forced token (= score), so its
@@ -263,6 +263,11 @@ def _forced_step_candidates(s, cur, *, b, k, is_fb, is_fe, eos_token_id,
     # per beam: [junk tokens (2K lowest-index non-forced), forced]
     jtok = jnp.arange(2 * k, dtype=jnp.int32)
     jtok = jtok + (jtok >= ftok.astype(jnp.int32)).astype(jnp.int32)
+    # junk columns score NEG_INF so their ids are semantically arbitrary, but
+    # they must stay in-vocab: with 2K+1 > V (tiny test vocabs under an
+    # env-forced non-full mode) the arange would emit out-of-range ids
+    # (ADVICE r3 #3)
+    jtok = jnp.minimum(jtok, vocab_size - 1)
     jtok = jnp.broadcast_to(jtok, (b, k, 2 * k))
     jcol = jnp.broadcast_to(banned_total, (b, k, 2 * k))
     fcol = s.running_scores[:, :, None]
@@ -357,7 +362,7 @@ def _candidates_opt(logits, lse, s, cur, *, cfg, b, k, vocab_size,
         lambda _: _forced_step_candidates(
             s, cur, b=b, k=k, is_fb=is_fb, is_fe=is_fe,
             eos_token_id=eos_token_id,
-            forced_bos_token_id=forced_bos_token_id),
+            forced_bos_token_id=forced_bos_token_id, vocab_size=vocab_size),
         optimistic, None)
 
 

@@ -26,6 +26,20 @@ def _expand_to_beams(x: jax.Array, k: int) -> jax.Array:
     return jnp.repeat(x, k, axis=0)
 
 
+def _env_fingerprint() -> tuple:
+    """Snapshot of every env knob the decode trace reads (VACNIC_*, ENC_*).
+
+    The knobs are consulted at TRACE time inside jitted generate paths, so
+    without this in the jit cache key an in-process flip (an A/B sweep)
+    would silently reuse the previously compiled arm (ADVICE r3 #2). Passed
+    as a static argument: a changed knob forces a retrace."""
+    import os
+
+    return tuple(sorted(
+        (k, v) for k, v in os.environ.items()
+        if k.startswith("VACNIC_") or k.startswith("ENC_")))
+
+
 def _decode_from_encoder(
     params, enc_hidden, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype,
     decode_plan=None,
@@ -188,14 +202,23 @@ def _decode_from_encoder(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "dcfg", "dtype"))
+@partial(jax.jit, static_argnames=("cfg", "dcfg", "dtype", "env_fp"))
+def _generate_text_bart_jit(
+    params, input_ids, attention_mask, cfg: BartConfig, dcfg: DecodeConfig,
+    dtype=jnp.float32, env_fp=(),
+):
+    del env_fp  # cache-key only: the trace below re-reads the env knobs
+    enc = B.encoder_fwd(params, input_ids, attention_mask, cfg, dtype=dtype)
+    return _decode_from_encoder(params, enc, attention_mask, cfg, dcfg, dtype)
+
+
 def generate_text_bart(
     params, input_ids, attention_mask, cfg: BartConfig, dcfg: DecodeConfig, dtype=jnp.float32
 ):
     """Text-only BART beam generation (CoLaM-teacher-style model; parity target
     for tests/test_beam_parity.py)."""
-    enc = B.encoder_fwd(params, input_ids, attention_mask, cfg, dtype=dtype)
-    return _decode_from_encoder(params, enc, attention_mask, cfg, dcfg, dtype)
+    return _generate_text_bart_jit(params, input_ids, attention_mask, cfg, dcfg,
+                                   dtype, env_fp=_env_fingerprint())
 
 
 def greedy_search(params, input_ids, attention_mask, cfg: BartConfig,
@@ -224,8 +247,8 @@ def get_prob(params, input_ids, attention_mask, decoder_input_ids, labels,
 
 
 @partial(jax.jit, static_argnames=("cfg", "fcfg", "dcfg", "add_ner_ffn", "dtype",
-                                   "decode_plan"))
-def generate_mm(
+                                   "decode_plan", "env_fp"))
+def _generate_mm_jit(
     params,
     input_ids,
     attention_mask,
@@ -241,10 +264,9 @@ def generate_mm(
     add_ner_ffn: bool = True,
     dtype=jnp.float32,
     decode_plan=None,
+    env_fp=(),
 ):
-    """Multimodal caption generation — `model.generate(...)` equivalent
-    (train...match.py:513-520 call signature). `decode_plan` overrides the
-    auto ChunkPlan for the fused decode kernel (static; hashable NamedTuple)."""
+    del env_fp  # cache-key only: the trace below re-reads the env knobs
     enc = _mm_encode(
         params, input_ids, attention_mask, image_features, cfg, fcfg,
         face_features=face_features, face_mask=face_mask,
@@ -253,6 +275,24 @@ def generate_mm(
     )
     return _decode_from_encoder(params, enc["last_hidden"], attention_mask, cfg,
                                 dcfg, dtype, decode_plan=decode_plan)
+
+
+def generate_mm(
+    params,
+    input_ids,
+    attention_mask,
+    image_features,
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    dcfg: DecodeConfig,
+    **kw,
+):
+    """Multimodal caption generation — `model.generate(...)` equivalent
+    (train...match.py:513-520 call signature). `decode_plan` overrides the
+    auto ChunkPlan for the fused decode kernel (static; hashable NamedTuple).
+    Jitted with the VACNIC_*/ENC_* env-knob snapshot in the cache key."""
+    return _generate_mm_jit(params, input_ids, attention_mask, image_features,
+                            cfg, fcfg, dcfg, env_fp=_env_fingerprint(), **kw)
 
 
 def _plan_probe_key(bsz, dcfg, cfg):
@@ -315,8 +355,16 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
             _LM_PLAN_OK[key] = True
             return out
         except Exception as e:  # Mosaic VMEM / scoped-stack rejection
+            # Only the kernel's own VMEM/scoped-stack rejection selects the
+            # fallback: a whole-program HBM OOM ("memory space hbm") is not
+            # the LM plan's fault — retrying n_lm=0 would OOM again with a
+            # less informative error and poison the probe cache (ADVICE r3
+            # #4). Mosaic messages name "vmem"/"scoped"/"mosaic"; XLA HBM
+            # OOMs name "hbm".
             msg = str(e).lower()
-            if not any(s in msg for s in ("vmem", "scoped", "memory", "mosaic")):
+            is_lm_plan_flake = ("hbm" not in msg and any(
+                s in msg for s in ("vmem", "scoped", "mosaic")))
+            if not is_lm_plan_flake:
                 raise
             _LM_PLAN_OK[key] = False
             import sys as _sys
@@ -420,7 +468,7 @@ def generate_mm_sharded(
     # per-call construction would re-trace + remote-compile the whole search
     # every batch — cache the compiled fn on the static configuration
     key = (mesh, cfg, fcfg, dcfg, add_ner_ffn, jnp.dtype(dtype).name,
-           data_axis, tuple(x is None for x in mm))
+           data_axis, tuple(x is None for x in mm), _env_fingerprint())
     fn = _SHARDED_FNS.get(key)
     if fn is None:
         fn = jax.jit(smap(body, in_specs=in_specs, out_specs=(b, b)))

@@ -38,7 +38,10 @@ from jax.experimental import pallas as pl
 VBLOCK = 1024  # vocab block width (lanes); also the top-C block granularity
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref):  # grid (nvb, nr)
+_MS_LANES = 128  # minimal Mosaic-legal lane width for the packed stats block
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, ms_ref):  # grid (nvb, nr)
     x = x_ref[...]  # [rb, D] bf16
     w = w_ref[...]  # [VBLOCK, D] bf16
     y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
@@ -46,8 +49,14 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref):  # grid (nvb, nr)
     y = y + b_ref[...]  # [1, VBLOCK] f32 (pad columns carry -1e9)
     out_ref[...] = y
     m = jnp.max(y, axis=-1, keepdims=True)  # [rb, 1]
-    m_ref[...] = m
-    s_ref[...] = jnp.sum(jnp.exp(y - m), axis=-1, keepdims=True)
+    s = jnp.sum(jnp.exp(y - m), axis=-1, keepdims=True)
+    # Mosaic rejects (rb, 1) output blocks (last block dim must be 128-
+    # divisible or the full array dim — r4 on-chip smoke), so m and s are
+    # packed into one 128-lane block per (row, vocab) grid cell: lanes <64
+    # broadcast m, lanes >=64 broadcast s. Each grid step owns its block, so
+    # no output revisiting and the vocab-major weight streaming is kept.
+    lane = jax.lax.broadcasted_iota(jnp.int32, ms_ref.shape, 1)
+    ms_ref[...] = jnp.where(lane < _MS_LANES // 2, m, s)
 
 
 def _pick_rows(bk: int) -> int:
@@ -88,18 +97,18 @@ def lm_stats(x: jax.Array, w_lm: jax.Array, b_lm: jax.Array,
             pl.BlockSpec((1, VBLOCK), lambda j, i: (0, j)),   # b_lm
         ],
         out_specs=[
-            pl.BlockSpec((rb, VBLOCK), lambda j, i: (i, j)),  # logits
-            pl.BlockSpec((rb, 1), lambda j, i: (i, j)),       # m
-            pl.BlockSpec((rb, 1), lambda j, i: (i, j)),       # s
+            pl.BlockSpec((rb, VBLOCK), lambda j, i: (i, j)),      # logits
+            pl.BlockSpec((rb, _MS_LANES), lambda j, i: (i, j)),   # packed m|s
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bk, vp), jnp.float32),
-            jax.ShapeDtypeStruct((bk, nvb), jnp.float32),
-            jax.ShapeDtypeStruct((bk, nvb), jnp.float32),
+            jax.ShapeDtypeStruct((bk, nvb * _MS_LANES), jnp.float32),
         ],
         interpret=interpret,
     )(x, w_lm, b_lm)
-    return tuple(out)
+    logits, ms = out
+    ms = ms.reshape(bk, nvb, _MS_LANES)
+    return logits, ms[:, :, 0], ms[:, :, _MS_LANES // 2]
 
 
 def gather_rerank(r3: jax.Array, bid: jax.Array, C: int):

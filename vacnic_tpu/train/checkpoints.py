@@ -52,24 +52,40 @@ class CheckpointManager:
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(state_template))
-        except Exception:
+        except Exception as e:
             # PRNG-impl migration: checkpoints written before the rbg default
             # (TrainConfig.prng_impl) hold a threefry (2,)-shaped rng where
             # the template now has an rbg (4,) key — or vice versa. Retry
             # with the alternate raw-key shape, then keep the TEMPLATE's key:
             # a stored key from a different impl cannot seed the current one
             # (the RNG stream restarts; dropout masks have no continuity
-            # guarantee across an impl switch anyway).
+            # guarantee across an impl switch anyway). Only a shape/structure
+            # mismatch takes this path — an unrelated failure (corrupt
+            # checkpoint, IO error) must surface as-is (ADVICE r3 #5).
+            msg = str(e).lower()
+            looks_like_mismatch = any(
+                s in msg for s in ("shape", "structure", "mismatch",
+                                   "does not match", "incompatible"))
             rng = getattr(state_template, "rng", None)
-            if rng is None or getattr(rng, "shape", None) not in ((2,), (4,)):
+            if (not looks_like_mismatch or rng is None
+                    or getattr(rng, "shape", None) not in ((2,), (4,))):
                 raise
             import jax.numpy as jnp
 
             alt_shape = (2,) if rng.shape == (4,) else (4,)
             alt = state_template._replace(
                 rng=jnp.zeros(alt_shape, jnp.uint32))
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(alt))
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(alt))
+            except Exception as e2:
+                raise e2 from e  # keep the original failure in the chain
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "restored step %s across a prng_impl switch (stored rng shape "
+                "%s, template %s): the dropout RNG stream restarts from the "
+                "template's fresh key", step, alt_shape, tuple(rng.shape))
             restored = restored._replace(rng=state_template.rng)
         return restored, step
 

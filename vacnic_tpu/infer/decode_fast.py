@@ -255,6 +255,16 @@ def build_decode_cache(
     if cross_kv_int8:
         cross_k, ck_scale = quantize_cross_kv(cross_k)
         cross_v, cv_scale = quantize_cross_kv(cross_v)
+    elif os.environ.get("VACNIC_CROSSKV_INT8_SIM") == "1":
+        # quality-gate instrument (scripts/gate_crosskv_int8_cpu.py): apply
+        # the kernel's int8 quantization as quantize->dequantize so the XLA
+        # decode path (CPU-runnable) carries the same — slightly MORE, since
+        # the dequant re-rounds to `dtype` — quantization error as the
+        # kernel's folded-scale int8 math. Never active with cross_kv_int8.
+        qk, sk = quantize_cross_kv(cross_k)
+        qv, sv = quantize_cross_kv(cross_v)
+        cross_k = (qk.astype(jnp.float32) * sk[..., None]).astype(dtype)
+        cross_v = (qv.astype(jnp.float32) * sv[..., None]).astype(dtype)
     return DecodeCache(
         self_k=jnp.zeros(shape, dtype),
         self_v=jnp.zeros(shape, dtype),

@@ -426,10 +426,18 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
         # largest divisor of T not exceeding the request — decode_stack
         # would otherwise reset to 1 and corrupt sweep records
         n_t = next(n for n in range(n_t, 0, -1) if t_max % n == 0)
+    # n_ffn also divides the fc1/fc2 weight WINDOWS Mosaic double-buffers:
+    # at b512 the n_ffn=2 windows alone are 16 MB×2-buffered and the program
+    # exceeds the 128 MB VMEM cap by 9.66M (scripts/logs_r4/bench_queue5.log)
+    # — finer FFN columns trade a few grid steps for window footprint.
+    nf_default = 2 if ffn_cols % 2 == 0 else 1
+    n_ffn = int(os.environ.get("VACNIC_PLAN_NFFN", nf_default))
+    if ffn_cols % n_ffn:
+        n_ffn = nf_default
     return ChunkPlan(
         n_self=n_self,
         n_cross=n_cross,
-        n_ffn=2 if ffn_cols % 2 == 0 else 1,
+        n_ffn=n_ffn,
         n_t=n_t,
         n_lm=n_lm,
         vmem_mb=int(os.environ.get("VACNIC_PLAN_VMEM",

@@ -148,6 +148,8 @@ def _kernel(
     mm_dtype=jnp.bfloat16,
     quant: bool = False,
     no_gather: bool = False,
+    no_cross_sm: bool = False,
+    no_self_sm: bool = False,
 ):
     use_lm = plan.n_lm > 0
     l = pl.program_id(0)
@@ -274,8 +276,14 @@ def _kernel(
                                jnp.where(gt < pos, scores, -jnp.inf))
             # online softmax (exact): rescale running stats to the new max
             m_new = jnp.maximum(m_s[...], jnp.max(scores, axis=0))  # [C, H]
-            alpha = jnp.exp(m_s[...] - m_new)
-            pm = jnp.exp(scores - m_new[None, :, :])  # [TB, C, H]
+            if no_self_sm:
+                # PROFILING ONLY (wrong numerics): same shapes/reductions
+                # without the exp calls — isolates the self-softmax VPU cost
+                alpha = jnp.minimum(m_new - m_s[...], 1.0)
+                pm = jnp.maximum(scores - m_new[None, :, :], -1.0) + 2.0
+            else:
+                alpha = jnp.exp(m_s[...] - m_new)
+                pm = jnp.exp(scores - m_new[None, :, :])  # [TB, C, H]
             l_s[...] = alpha * l_s[...] + jnp.sum(pm, axis=0)
             m_s[...] = m_new
             alpha_d = jnp.dot(alpha.astype(mm_dtype), sel.T,
@@ -364,7 +372,13 @@ def _kernel(
             s_h = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) + bias  # [BC, KP, S]
-            p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
+            if no_cross_sm:
+                # PROFILING ONLY (wrong numerics): linear pseudo-normalizer
+                # with the same shape/dtype flow — isolates the f32 exp/div
+                # VPU cost of the cross softmax
+                p_h = (s_h * (1.0 / S)).astype(mm_dtype)
+            else:
+                p_h = jax.nn.softmax(s_h, axis=-1).astype(mm_dtype)
             o_h = jax.lax.dot_general(
                 p_h, cross_v_ref[0, :, h].astype(mm_dtype),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -613,7 +627,9 @@ def decode_stack(
     kernel = functools.partial(
         _kernel, plan=plan, cfg_heads=H, cfg_hd=hd, beams=beams,
         act_name=cfg.activation_function, mm_dtype=mm_dtype, quant=quant,
-        no_gather=os.environ.get("VACNIC_KERNEL_NOGATHER") == "1")
+        no_gather=os.environ.get("VACNIC_KERNEL_NOGATHER") == "1",
+        no_cross_sm=os.environ.get("VACNIC_KERNEL_NOCROSSSM") == "1",
+        no_self_sm=os.environ.get("VACNIC_KERNEL_NOSELFSM") == "1")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

@@ -68,3 +68,30 @@ def test_pallas_plan_exists_gate(monkeypatch):
     assert not pallas_plan_exists(3, 5)   # bk=15
     assert not pallas_plan_exists(11, 5)  # bk=55
     assert not pallas_plan_exists(1, 4)   # bk=4
+
+
+def test_choose_plan_clamps_env_chunking(monkeypatch):
+    """Env-swept plan knobs must never produce Mosaic-illegal blocks:
+    n_cross keeps enc_bias row blocks 8-aligned (b512 + NCROSS=128 failed
+    to lower, scripts/logs_r4/bench_queue6.log); n_ffn falls back on
+    non-divisors."""
+    # b512 + NCROSS=128 -> 4-row enc_bias blocks: clamp to 64 (8 rows)
+    monkeypatch.setenv("VACNIC_PLAN_NCROSS", "128")
+    plan = DF.choose_plan(2560, 512, 64, 4096)
+    assert plan.n_cross == 64
+    monkeypatch.delenv("VACNIC_PLAN_NCROSS")
+    # default picks are already legal at the bench shapes
+    for b in (32, 64, 128, 256, 512):
+        plan = DF.choose_plan(5 * b, b, 64, 4096)
+        assert b % plan.n_cross == 0
+        bc = b // plan.n_cross
+        assert bc == b or bc % 8 == 0
+    # n_ffn non-divisor falls back to the default
+    monkeypatch.setenv("VACNIC_PLAN_NFFN", "3")
+    plan = DF.choose_plan(160, 32, 64, 4096)
+    assert plan.n_ffn == 2
+    monkeypatch.delenv("VACNIC_PLAN_NFFN")
+    # NFFN=4 divides 4096: honored
+    monkeypatch.setenv("VACNIC_PLAN_NFFN", "4")
+    plan = DF.choose_plan(2560, 512, 64, 4096)
+    assert plan.n_ffn == 4

@@ -38,6 +38,18 @@ def test_lm_stats_kernel_parity():
     np.testing.assert_array_equal(np.asarray(m), r3.max(-1))
 
 
+def test_lm_stats_unaligned_rows():
+    """bk=4 (batch 2 x 2 beams in the tiny e2e test) must pad to 8 rows
+    internally and slice back — regression for the r4 Mosaic-fix assert."""
+    x, w, b, vp = _mk(4, 128, 50267, seed=5)
+    logits, m, s = lm_stats(x, w, b, interpret=True)
+    assert logits.shape == (4, vp) and m.shape == (4, vp // VBLOCK)
+    ref = jnp.dot(x, w.T, preferred_element_type=jnp.float32) + b
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref))
+    r3 = np.asarray(ref).reshape(4, vp // VBLOCK, VBLOCK)
+    np.testing.assert_array_equal(np.asarray(m), r3.max(-1))
+
+
 def test_lm_stats_topk_and_lse():
     x, w, b, vp = _mk(24, 128, 50267, seed=3)
     logits, m, s = lm_stats(x, w, b, interpret=True)

@@ -43,7 +43,15 @@ def synthetic_batch(cfg: VacnicConfig, batch_size: int, seed: int = 0,
         tgt[i, pad_from - 1] = bart.eos_token_id
         tgt[i, pad_from:] = bart.pad_token_id
 
-    names_art = ids((b, fus.max_ner_type_len))
+    # name arrays are embedded by the separate NER table (fusion.py
+    # embed_ner_stream; reference :1253-1260), so their ids must stay below
+    # ner_vocab_size as well — in the real pipeline both tables cover the
+    # BART vocab, but tests shrink them independently, and out-of-range
+    # gather indices FILL WITH NaN under jit (burned: an inconsistent
+    # vocab_size=16500 / ner_vocab_size=128 test config NaN-poisoned every
+    # logit and both beam paths decoded garbage)
+    nv = min(v, fus.ner_vocab_size, 50000)
+    names_art = rng.randint(4, nv, size=(b, fus.max_ner_type_len)).astype(np.int32)
     names_art[:, 0] = bart.bos_token_id
     names_art[:, -1] = bart.pad_token_id
 
@@ -54,7 +62,7 @@ def synthetic_batch(cfg: VacnicConfig, batch_size: int, seed: int = 0,
     names_3d[:, :, 2] = bart.eos_token_id
     names_3d[:, -1, 1] = noname  # trailing <NONAME> row (goodnews...py:356)
 
-    names_flat = ids((b, fus.max_ner_type_len_gt))
+    names_flat = rng.randint(4, nv, size=(b, fus.max_ner_type_len_gt)).astype(np.int32)
     names_flat[:, 0] = bart.bos_token_id
 
     faces = rng.randn(b, fus.max_faces, fus.face_feature_dim).astype(np.float32)

@@ -403,6 +403,14 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     n_self = int(os.environ.get("VACNIC_PLAN_NSELF", ns_default))
     n_cross = int(os.environ.get(
         "VACNIC_PLAN_NCROSS", pick(max(1, b // 8), lambda n: True)))
+    # enc_bias blocks are [B/n_cross, S]: Mosaic needs the sublane dim
+    # 8-divisible or equal to B, so an env-swept n_cross must keep
+    # B/n >= 8 rows (b512 + NCROSS=128 → 4-row blocks failed to lower,
+    # scripts/logs_r4/bench_queue6.log) — largest valid value not above
+    # the request
+    if n_cross != 1 and (b % n_cross or (b // n_cross) % 8):
+        n_cross = next(n for n in range(min(n_cross, b // 8), 0, -1)
+                       if b % n == 0 and (n == 1 or (b // n) % 8 == 0))
     # Best measured per-batch configs on v5e (clean serial runs):
     #   b32  (bk 160): n_t=4, XLA LM head          -> ~88-91 cps
     #   b64  (bk 320): n_t=2, in-kernel LM n_lm=32 -> 107.4 cps
@@ -561,7 +569,11 @@ def decode_step_pallas_stats(
     dp = ensure_lm_head(dp, params, dtype)
     _, x_out, new_cache = _stack_body(dp, params, cache, x, pos,
                                       enc_mask_bias, cfg, plan, interpret)
-    logits_p, m, s = lm_stats(x_out.astype(jnp.bfloat16), dp.w_lm, dp.b_lm,
+    # keep the LM matmul in the decode dtype: the plain path computes
+    # x_out @ w_lm in `dtype` (decode_step_pallas n_lm=0 branch), so a
+    # forced bf16 downcast here would make the stats path systematically
+    # diverge from it whenever dtype=f32 (the CPU parity tests)
+    logits_p, m, s = lm_stats(x_out.astype(dtype), dp.w_lm, dp.b_lm,
                               interpret=interpret)
     v = params["shared"]["weight"].shape[0]
     cv, ci, lse = lm_stats_topk(logits_p, m, s, shortlist_c, v)

@@ -150,6 +150,7 @@ def _kernel(
     no_gather: bool = False,
     no_cross_sm: bool = False,
     no_self_sm: bool = False,
+    skeleton: bool = False,
 ):
     use_lm = plan.n_lm > 0
     l = pl.program_id(0)
@@ -196,6 +197,59 @@ def _kernel(
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + 1e-5) * g[None, :] + b[None, :]
+
+    if skeleton:
+        # PROFILING ONLY (wrong results): every compute phase replaced by a
+        # tiny corner read of each block it would fetch — no window can be
+        # elided, so this measures the pure fetch pipeline + grid overhead
+        # (the decode analogue of the encoder parts=none probe that showed
+        # the encoder kernel at speed-of-light). VACNIC_KERNEL_SKELETON=1.
+        def _touch(*refs):
+            s = jnp.float32(0.0)
+            for r in refs:
+                blk = r[...]
+                flat = blk.reshape(-1, blk.shape[-1])  # merge-only reshape
+                s = s + jnp.sum(
+                    flat[:8, :min(128, flat.shape[-1])].astype(jnp.float32))
+            return s
+
+        @pl.when((l < n_layers) & (p < ns))
+        def _sk_self():
+            s = _touch(x0_ref, w_qkv_ref, b_qkv_ref, w_so_ref, ln_s_ref,
+                       self_k_ref, self_v_ref, anc_ref, ancT_ref, anc2_ref)
+            m_s[...] = jnp.full(m_s.shape, s, jnp.float32)
+
+            @pl.when(tc == 0)
+            def _sk_store():
+                k_new_ref[0] = self_k_ref[0, 0].astype(k_new_ref.dtype)
+                v_new_ref[0] = self_v_ref[0, 0].astype(v_new_ref.dtype)
+
+        @pl.when((l < n_layers) & (p >= ns) & (p < ns + plan.n_cross))
+        def _sk_cross():
+            s = _touch(w_cq_ref, b_cq_ref, w_co_ref, b_co_ref, ln_c_ref,
+                       cross_k_ref, cross_v_ref, ck_scale_ref, cv_scale_ref,
+                       enc_bias_ref)
+            l_s[...] = jnp.full(l_s.shape, s, jnp.float32)
+
+        @pl.when((l < n_layers) & (p >= ns + plan.n_cross)
+                 & (p < ns + plan.n_cross + plan.n_ffn))
+        def _sk_ffn():
+            s = _touch(w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref, ln_f_ref)
+            att_s[...] = jnp.full(att_s.shape, s, jnp.float32)
+
+        if use_lm:
+            @pl.when(l == n_layers)
+            def _sk_lm():
+                s = _touch(w_lm_ref, b_lm_ref)
+                logits_ref[...] = jnp.full(logits_ref.shape, s, jnp.float32)
+
+        @pl.when((l == pl.num_programs(0) - 1) & (p == pl.num_programs(1) - 1))
+        def _sk_emit():
+            x_out_ref[:] = (x0_ref[:].astype(jnp.float32)
+                            + m_s[:1, :1] + l_s[:1, :1] + att_s[:1, :1]
+                            ).astype(x_out_ref.dtype)
+
+        return
 
     @pl.when((l == 0) & (p == 0))
     def _load_x():
@@ -629,7 +683,8 @@ def decode_stack(
         act_name=cfg.activation_function, mm_dtype=mm_dtype, quant=quant,
         no_gather=os.environ.get("VACNIC_KERNEL_NOGATHER") == "1",
         no_cross_sm=os.environ.get("VACNIC_KERNEL_NOCROSSSM") == "1",
-        no_self_sm=os.environ.get("VACNIC_KERNEL_NOSELFSM") == "1")
+        no_self_sm=os.environ.get("VACNIC_KERNEL_NOSELFSM") == "1",
+        skeleton=os.environ.get("VACNIC_KERNEL_SKELETON") == "1")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

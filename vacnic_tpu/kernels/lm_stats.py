@@ -60,8 +60,12 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, ms_ref):  # grid (nvb, nr)
 
 
 def _pick_rows(bk: int) -> int:
-    """Largest row-block <= 512 dividing BK with 8-aligned sublanes."""
-    assert bk % 8 == 0, f"lm_stats needs 8-aligned rows, got bk={bk}"
+    """Largest row-block <= 512 dividing BK with 8-aligned sublanes.
+
+    lm_stats pads bk to a multiple of 8 before calling (Mosaic path);
+    interpret mode passes unaligned bk through as a single row block."""
+    if bk % 8 != 0:
+        return bk
     for rb in (512, 320, 256, 160, 128, 64, 40, 32, 16, 8):
         if bk % rb == 0:
             return rb
@@ -76,7 +80,16 @@ def lm_stats(x: jax.Array, w_lm: jax.Array, b_lm: jax.Array,
     `w_lm`/`b_lm` from infer.decode_fast.build_lm_head: [Vp, D] bf16 with
     zero pad rows and [1, Vp] f32 with -1e9 pad bias (Vp a multiple of
     4096, hence of VBLOCK)."""
-    bk, d = x.shape
+    bk0, d = x.shape
+    # Mosaic needs 8-aligned sublanes; tiny configs (e.g. batch 2 x 2 beams)
+    # produce bk=4 — pad with zero rows (they read the bias row; sliced off
+    # below) rather than excluding small shapes from the stats path.
+    # Interpret mode (CPU tests) skips the pad: alignment isn't enforced
+    # there, and keeping the exact row count keeps the dot shape — and hence
+    # f32 summation order — identical to the plain path's XLA LM head.
+    bk = bk0 if interpret else bk0 + (-bk0) % 8
+    if bk != bk0:
+        x = jnp.pad(x, ((0, bk - bk0), (0, 0)))
     vp = w_lm.shape[0]
     assert vp % VBLOCK == 0, (vp, VBLOCK)
     nvb = vp // VBLOCK
@@ -108,7 +121,7 @@ def lm_stats(x: jax.Array, w_lm: jax.Array, b_lm: jax.Array,
     )(x, w_lm, b_lm)
     logits, ms = out
     ms = ms.reshape(bk, nvb, _MS_LANES)
-    return logits, ms[:, :, 0], ms[:, :, _MS_LANES // 2]
+    return (logits[:bk0], ms[:bk0, :, 0], ms[:bk0, :, _MS_LANES // 2])
 
 
 def gather_rerank(r3: jax.Array, bid: jax.Array, C: int):

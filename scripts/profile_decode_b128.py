@@ -133,8 +133,7 @@ def model_nolm_variant(cfg, params):
     key = jax.random.PRNGKey(0)
     dp = DF.build_decode_params(params)
     enc_out = jax.random.normal(jax.random.fold_in(key, 1), (BATCH, S, D), jnp.bfloat16)
-    cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
-                                  pad_to=16, time_major=True)
+    int8 = os.environ.get("PROF_INT8") == "1"
     enc_bias = jnp.zeros((BATCH, 1, 1, S), jnp.float32)
     plan = DF.choose_plan(BK, BATCH, T_MAX, dp.w_fc1.shape[2])
     from vacnic_tpu.kernels.decode_layer import decode_stack
@@ -143,8 +142,17 @@ def model_nolm_variant(cfg, params):
 
     probe_w = jax.random.normal(jax.random.fold_in(key, 2), (D, 128), jnp.bfloat16)
 
+    # cache built INSIDE the jit and int8 matched to the base probe: passing
+    # it as a jit argument keeps a second ~4 GB self-cache copy alive next to
+    # the scan carry (RESOURCE_EXHAUSTED at b256 in queue6 AND queue7 — the
+    # base `chained` harness had the same bug fixed earlier), and a bf16
+    # cross-KV here would make the nolm-vs-base delta compare different
+    # cross traffic.
     @jax.jit
-    def run(dp, params, enc_bias, cache, probe_w):
+    def run(dp, params, enc_bias, enc_out, probe_w):
+        cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
+                                      pad_to=16, time_major=True,
+                                      cross_kv_int8=int8)
         dec = params["decoder"]
 
         def body(carry, pos):
@@ -161,7 +169,9 @@ def model_nolm_variant(cfg, params):
                 cache.cross_k, cache.cross_v,
                 enc_bias[:, 0, 0, :].astype(jnp.float32),
                 jnp.zeros((128, D), jnp.bfloat16), jnp.zeros((1, 128), jnp.float32),
-                bart, plan=plan._replace(n_lm=0))
+                bart, plan=plan._replace(n_lm=0),
+                cross_k_scale=cache.cross_k_scale,
+                cross_v_scale=cache.cross_v_scale)
             new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, None, :, :],
                                                  (0, pos, 0, 0))
             new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],
@@ -175,7 +185,7 @@ def model_nolm_variant(cfg, params):
             body, (jnp.zeros((BK, 1), jnp.int32), cache), jnp.arange(N_STEPS))
         return probe.sum()
 
-    emit("model_nolm", timed(run, dp, params, enc_bias, cache, probe_w))
+    emit("model_nolm", timed(run, dp, params, enc_bias, enc_out, probe_w))
 
 
 def logic_variants(parts):

@@ -245,8 +245,11 @@ def _kernel(
 
         @pl.when((l == pl.num_programs(0) - 1) & (p == pl.num_programs(1) - 1))
         def _sk_emit():
-            x_out_ref[:] = (x0_ref[:].astype(jnp.float32)
-                            + m_s[:1, :1] + l_s[:1, :1] + att_s[:1, :1]
+            # rank-0 reads: a [1,1] vector operand broadcast onto [BK, d]
+            # is "broadcast in both sublanes and lanes" — Mosaic rejects it
+            # (queue7); a scalar lowers as a splat
+            s = m_s[0, 0] + l_s[0, 0] + att_s[0, 0]
+            x_out_ref[:] = (x0_ref[:].astype(jnp.float32) + s
                             ).astype(x_out_ref.dtype)
 
         return

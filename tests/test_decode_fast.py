@@ -86,6 +86,17 @@ def test_choose_plan_clamps_env_chunking(monkeypatch):
         assert b % plan.n_cross == 0
         bc = b // plan.n_cross
         assert bc == b or bc % 8 == 0
+    # env n_self must keep bkc beam-aligned AND 8-aligned: b512 + NSELF=40
+    # gave bkc=64 (not a multiple of beams=5) and decode_stack asserted
+    # (scripts/logs_r4/bench_queue8.log) — clamp to the largest legal value
+    monkeypatch.setenv("VACNIC_PLAN_NSELF", "40")
+    plan = DF.choose_plan(2560, 512, 64, 4096)
+    assert plan.n_self == 32 and (2560 // plan.n_self) % 5 == 0
+    # NSELF=64 -> bkc=40: legal (beams 5, 8-aligned), honored
+    monkeypatch.setenv("VACNIC_PLAN_NSELF", "64")
+    plan = DF.choose_plan(2560, 512, 64, 4096)
+    assert plan.n_self == 64
+    monkeypatch.delenv("VACNIC_PLAN_NSELF")
     # n_ffn non-divisor falls back to the default
     monkeypatch.setenv("VACNIC_PLAN_NFFN", "3")
     plan = DF.choose_plan(160, 32, 64, 4096)

@@ -401,6 +401,16 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     ns_default = pick(max(1, bk // 80), lambda n: (bk // n) % 8 == 0) \
         if bk >= 640 else pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
     n_self = int(os.environ.get("VACNIC_PLAN_NSELF", ns_default))
+    # self chunks hold whole beam groups (the ancestry one-hot is
+    # chunk-local: decode_stack asserts bkc % beams == 0) and stay
+    # 8-aligned; an env-swept n_self gets the largest legal value not
+    # above the request (b512 + NSELF=40 → bkc 64 % beams 5 != 0 asserted,
+    # scripts/logs_r4/bench_queue8.log)
+    beams = bk // b
+    def _ns_ok(n):
+        return bk % n == 0 and (bk // n) % beams == 0 and (bk // n) % 8 == 0
+    if not _ns_ok(n_self):
+        n_self = next(n for n in range(min(n_self, bk), 0, -1) if _ns_ok(n))
     n_cross = int(os.environ.get(
         "VACNIC_PLAN_NCROSS", pick(max(1, b // 8), lambda n: True)))
     # enc_bias blocks are [B/n_cross, S]: Mosaic needs the sublane dim

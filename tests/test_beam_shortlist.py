@@ -184,9 +184,15 @@ def test_row_topk_blockmax_exact():
     np.testing.assert_array_equal(np.asarray(ci0), np.asarray(ci1))
 
 
-def test_shortlist_blockmax_mode(monkeypatch):
-    """End-to-end shortlist with the blockmax row top-k matches full."""
-    monkeypatch.setenv("VACNIC_BEAM_TOPK", "blockmax")
+@pytest.mark.parametrize("env", ["blockmax", None])
+def test_shortlist_blockmax_mode(monkeypatch, env):
+    """End-to-end shortlist with the blockmax row top-k matches full — both
+    env-forced and as the r4 DEFAULT (env unset; paired e2e 175.2 vs 158.6
+    cps at b256, scripts/logs_r4/bench_queue9.log)."""
+    if env is None:
+        monkeypatch.delenv("VACNIC_BEAM_TOPK", raising=False)
+    else:
+        monkeypatch.setenv("VACNIC_BEAM_TOPK", env)
     spec = CFGS[0]
     for seed in (0, 1):
         s_full, sc_full = run(spec["cfg"], seed, "full", monkeypatch,

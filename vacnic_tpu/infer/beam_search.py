@@ -208,8 +208,15 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
 
         if pre is not None:
             cv, ci = pre  # [BK, C] raw-logit shortlist from the stats head
-        elif (_os.environ.get("VACNIC_BEAM_TOPK") == "blockmax"
+        elif (_os.environ.get("VACNIC_BEAM_TOPK", "blockmax") == "blockmax"
                 and vocab_size >= 2 * C * 128):  # needs >= C blocks (exactness)
+            # DEFAULT since r4: exact block-max two-stage row top-C. Same-
+            # window paired e2e at b256: 175.2 cps (174.8/177.1/175.2) vs
+            # 158.6 plain (164.4/158.6/153.4) — the TPU TopK partial sort
+            # over the full vocab is ~2 ms/step slower than a BW-bound
+            # max-reduce + top-C-block gather + re-rank
+            # (scripts/logs_r4/bench_queue9.log). VACNIC_BEAM_TOPK=plain
+            # opts out.
             cv, ci = row_topk_blockmax(logits, C)  # [BK, C] raw-logit shortlist
         else:
             cv, ci = jax.lax.top_k(logits, C)  # [BK, C] raw-logit shortlist

@@ -19,10 +19,12 @@ run() {
   timeout "$to" "$@" >> "$LOG" 2>&1
   echo "=== $name rc=$? end $(date +%H:%M:%S) ===" >> "$LOG"
 }
+run probe_fp8 600 python scripts/mosaic_probe_fp8.py all
 run probe_model_ns8 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NSELF=8 python scripts/profile_decode_b128.py
 run probe_model_nc16 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NCROSS=16 python scripts/profile_decode_b128.py
 run probe_model_ns8_nc16 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NSELF=8 VACNIC_PLAN_NCROSS=16 python scripts/profile_decode_b128.py
 run probe_skel_ns8_nc16 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_KERNEL_SKELETON=1 VACNIC_PLAN_NSELF=8 VACNIC_PLAN_NCROSS=16 python scripts/profile_decode_b128.py
+run probe_model_vmem127 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_VMEM=127 python scripts/profile_decode_b128.py
 run bench_b512_nffn4_nself64 1500 env BENCH_BATCH=512 VACNIC_PLAN_NFFN=4 VACNIC_PLAN_NSELF=64 BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
 run bench_b256_confirm 1500 env BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
 echo ALL_DONE_QUEUE10 >> "$LOG"

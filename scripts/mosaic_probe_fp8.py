@@ -79,11 +79,45 @@ def probe_roundtrip():
     print(f"roundtrip OK max rel err={rel:.4g} (e4m3 ~ 6%)", flush=True)
 
 
+def probe_window(bkc: int = 160):
+    """Windowed BlockSpec over a [T, BK, D] fp8 array at the real b256
+    shapes: full-array blocks skip the packed-dtype tiling rule, this
+    doesn't. bkc=160 is 32-sublane-aligned (surely legal); bkc=80 is only
+    8-aligned — if Mosaic accepts it, the fp8 self-cache can keep the
+    measured-optimal ns16 plan instead of the 2x-slower ns8."""
+    T, BK, D2 = 64, 1280, 1024
+    tb = 16
+
+    def kern(k8_ref, o_ref):
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            o_ref[...] = jnp.sum(k8_ref[...].astype(jnp.float32),
+                                 axis=0)[:, :128]
+
+    key = jax.random.PRNGKey(5)
+    k8 = (jax.random.normal(key, (T, BK, D2), jnp.float32) * 4).astype(FP8)
+    out = pl.pallas_call(
+        kern,
+        grid=(T // tb, BK // bkc),
+        in_specs=[pl.BlockSpec((tb, bkc, D2), lambda t, c: (t, c, 0))],
+        out_specs=pl.BlockSpec((bkc, 128), lambda t, c: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((BK, 128), jnp.float32),
+    )(k8)
+    ref = np.asarray(k8.astype(jnp.float32)).reshape(
+        T // tb, tb, BK // bkc, bkc, D2)
+    ref = ref[-1].sum(axis=0)[:, :, :128].reshape(BK, 128)
+    err = float(np.max(np.abs(np.asarray(out) - ref)))
+    print(f"window bkc={bkc} OK max|d|={err:.4g}", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
-    for name, fn in (("load", probe_load), ("store", probe_store),
-                     ("roundtrip", probe_roundtrip)):
+    probes = (("load", probe_load), ("store", probe_store),
+              ("roundtrip", probe_roundtrip),
+              ("window", lambda: probe_window(160)),
+              ("window80", lambda: probe_window(80)))
+    for name, fn in probes:
         if which in (name, "all"):
             try:
                 fn()

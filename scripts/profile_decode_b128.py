@@ -90,11 +90,14 @@ def model_variants(parts, cfg, params):
         # self-cache copies ≈ 8 GB at b256 OOM where the real while_loop path
         # fits. In-jit build adds one cross-KV projection per 50-step loop
         # (~0.1 ms/step noise).
+        self_fp8 = os.environ.get("VACNIC_SELFKV_FP8") == "1"
+
         @jax.jit
         def run(dp, params, enc_bias, enc_out, probe_w):
             cache = DF.build_decode_cache(params, enc_out, BEAMS, L, bart,
                                           pad_to=16, time_major=True,
-                                          cross_kv_int8=int8)
+                                          cross_kv_int8=int8,
+                                          self_kv_fp8=self_fp8)
             def body(carry, pos):
                 tok, cache = carry
                 logits, cache = DF.decode_step_pallas(

@@ -265,6 +265,137 @@ def test_crosskv_int8_quality_proxy(setup):
     assert np.max(np.abs(q_logits - ref_logits)) < 0.15
 
 
+def test_selfkv_fp8_exact_when_representable(setup):
+    """fp8 (e4m3) self-cache: with past rows already on the fp8 grid, the
+    step's logits are BIT-IDENTICAL to the full-precision-cache path — the
+    step never reads its own new row from the cache (mask-merged from VMEM),
+    so storage quantization only touches rows < pos, here exactly
+    representable."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    fp8 = jnp.float8_e4m3fn
+    rng = np.random.RandomState(3)
+    t_dim = cache_tm.self_k.shape[1]
+    pos = jnp.int32(3)
+    grid_k = jnp.asarray(rng.randn(*cache_tm.self_k.shape).astype(np.float32)
+                         ).astype(fp8).astype(jnp.float32)
+    grid_v = jnp.asarray(rng.randn(*cache_tm.self_v.shape).astype(np.float32)
+                         ).astype(fp8).astype(jnp.float32)
+    # rows >= pos stay zero (kernel invariant: written only after the step)
+    tmask = (jnp.arange(t_dim) < 3)[None, :, None, None]
+    grid_k = jnp.where(tmask, grid_k, 0.0)
+    grid_v = jnp.where(tmask, grid_v, 0.0)
+    base = cache_tm._replace(self_k=grid_k, self_v=grid_v)
+    quant = cache_tm._replace(self_k=grid_k.astype(fp8),
+                              self_v=grid_v.astype(fp8))
+    tok = jnp.full((bk, 1), 7, jnp.int32)
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+    base_logits, base_cache = pal(base, tok, pos)
+    q_logits, q_cache = pal(quant, tok, pos)
+    np.testing.assert_array_equal(np.asarray(q_logits), np.asarray(base_logits))
+    # past rows round-trip untouched; the new row is clamp+fp8 of the base's
+    past = np.asarray(q_cache.self_k.astype(jnp.float32))[:, :3]
+    np.testing.assert_array_equal(past, np.asarray(base_cache.self_k)[:, :3])
+    new_q = np.asarray(q_cache.self_k.astype(jnp.float32))[:, 3]
+    new_b = np.asarray(base_cache.self_k)[:, 3]
+    np.testing.assert_array_equal(
+        new_q, np.asarray(jnp.asarray(np.clip(new_b, -448, 448)
+                                      ).astype(fp8).astype(jnp.float32)))
+
+
+def test_selfkv_fp8_quality_proxy(setup):
+    """Real (non-grid) self K/V accumulated over a multi-step decode: the
+    fp8 cache must track the full-precision path to small logit error and
+    identical greedy tokens (mirrors the int8 cross-KV proxy)."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    fp8 = jnp.float8_e4m3fn
+    quant = cache_tm._replace(self_k=cache_tm.self_k.astype(fp8),
+                              self_v=cache_tm.self_v.astype(fp8))
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+
+    def roll(cache):
+        tok = jnp.full((bk, 1), 2, jnp.int32)
+        toks = []
+        for pos in range(5):
+            logits, cache = pal(cache, tok, jnp.int32(pos))
+            tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+            toks.append(np.asarray(tok[:, 0]))
+        return np.stack(toks), np.asarray(logits)
+
+    ref_toks, ref_logits = roll(cache_tm)
+    q_toks, q_logits = roll(quant)
+    np.testing.assert_array_equal(q_toks, ref_toks)
+    assert np.max(np.abs(q_logits - ref_logits)) < 0.3
+
+
+def test_choose_plan_fp8_chunking(monkeypatch):
+    """VACNIC_SELFKV_FP8=1 constrains self row chunks to (32,128)-tileable
+    widths (bkc % 32, on top of beams- and 8-alignment); shapes with no
+    legal fp8 chunking fall back to bf16 legality."""
+    monkeypatch.setenv("VACNIC_SELFKV_FP8", "1")
+    plan = DF.choose_plan(1280, 256, 64, 4096)  # b256: bkc 160, not 80
+    assert (1280 // plan.n_self) % 32 == 0
+    assert (1280 // plan.n_self) % 5 == 0
+    plan = DF.choose_plan(40, 8, 16, 256)  # tiny: no bkc % 32 option
+    assert (40 // plan.n_self) % 8 == 0
+    monkeypatch.delenv("VACNIC_SELFKV_FP8")
+
+
+def test_generate_mm_selfkv_fp8_gate(monkeypatch):
+    """The VACNIC_SELFKV_FP8 knob must actually reach build_decode_cache —
+    ON at fp8-eligible shapes (bkc % 32 == 0), OFF at tiny shapes — guarding
+    against the r4 vacuous-knob trap (a knob that never activates 'passes'
+    every A/B). The spy aborts before the expensive decode."""
+    import dataclasses
+
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    cfg = VacnicConfig.tiny()
+    params = F.multimodal_bart_init(jax.random.PRNGKey(0), cfg.bart, cfg.fusion)
+
+    class Stop(Exception):
+        pass
+
+    captured = {}
+    orig = DF.build_decode_cache
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        raise Stop()
+
+    monkeypatch.setattr(DF, "build_decode_cache", spy)
+    monkeypatch.setenv("VACNIC_PALLAS_DECODE", "1")
+    monkeypatch.setenv("VACNIC_SELFKV_FP8", "1")
+
+    def run(batch_size, beams):
+        batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
+        dcfg = dataclasses.replace(cfg.decode, num_beams=beams, max_length=8)
+        with pytest.raises(Exception) as ei:
+            generate_mm(
+                params, batch["article_ids"], create_mask(batch["article_ids"]),
+                batch["image_cls"], cfg.bart, cfg.fusion, dcfg,
+                face_features=batch["face_emb"],
+                face_mask=face_mask_from_emb(batch["face_emb"]),
+                name_ids=batch["names_art_ids"],
+                name_mask=create_mask(batch["names_art_ids"]),
+                dtype=jnp.float32)
+        assert "Stop" in str(ei.type) or "Stop" in str(ei.value)
+        return captured.pop("self_kv_fp8")
+
+    assert run(32, 5) is True   # bk=160 -> n_self=1, bkc=160 (32-aligned)
+    assert run(2, 2) is False   # bk=4: no fp8-legal chunking
+    monkeypatch.setattr(DF, "build_decode_cache", orig)
+
+
 def test_generate_mm_pallas_flag_token_parity(monkeypatch):
     """End-to-end beam search through generate_mm with VACNIC_PALLAS_DECODE=1
     (auto-interpret on CPU): token-identical to the XLA path."""

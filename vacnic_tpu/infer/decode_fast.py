@@ -220,6 +220,7 @@ def build_decode_cache(
     pad_to: int = 1,
     time_major: bool = False,
     cross_kv_int8: bool = False,
+    self_kv_fp8: bool = False,
 ) -> DecodeCache:
     """Cross K/V computed once per batch item; self cache zero-initialized at
     batch·beams. `pad_to=16` rounds the T dim up to the bf16 sublane tile
@@ -227,7 +228,10 @@ def build_decode_cache(
     padding rows are inert). `time_major=True` lays the self cache out
     [L, T, B·K, D] and attaches the identity ancestry matrix (pallas path).
     `cross_kv_int8=True` stores cross K/V as int8 with per-(L, B, H, hd)
-    symmetric scales (kernel path only — halves the per-step HBM floor)."""
+    symmetric scales (kernel path only — halves the per-step HBM floor).
+    `self_kv_fp8=True` stores the SELF cache as float8_e4m3fn (kernel path
+    only — halves the other big per-step fetch; no scale machinery, the
+    kernel clamps to ±448 on store since the e4m3 cast overflows to NaN)."""
     layers = params["decoder"]["layers"]
     b, s, d = enc_out.shape
     max_len = -(-max_len // pad_to) * pad_to
@@ -265,9 +269,10 @@ def build_decode_cache(
         qv, sv = quantize_cross_kv(cross_v)
         cross_k = (qk.astype(jnp.float32) * sk[..., None]).astype(dtype)
         cross_v = (qv.astype(jnp.float32) * sv[..., None]).astype(dtype)
+    self_dtype = jnp.float8_e4m3fn if self_kv_fp8 else dtype
     return DecodeCache(
-        self_k=jnp.zeros(shape, dtype),
-        self_v=jnp.zeros(shape, dtype),
+        self_k=jnp.zeros(shape, self_dtype),
+        self_v=jnp.zeros(shape, self_dtype),
         cross_k=cross_k,
         cross_v=cross_v,
         anc=(jnp.broadcast_to(jnp.arange(bkt, dtype=jnp.int32)[None, :],
@@ -407,10 +412,28 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # above the request (b512 + NSELF=40 → bkc 64 % beams 5 != 0 asserted,
     # scripts/logs_r4/bench_queue8.log)
     beams = bk // b
-    def _ns_ok(n):
-        return bk % n == 0 and (bk // n) % beams == 0 and (bk // n) % 8 == 0
-    if not _ns_ok(n_self):
-        n_self = next(n for n in range(min(n_self, bk), 0, -1) if _ns_ok(n))
+    # fp8 self-cache blocks use (32,128) tiling: the row-chunk sublane dim
+    # must also be 32-divisible (with beams=5 + 8-alignment → bkc % 160).
+    # VACNIC_FP8_SUB8=1 relaxes to 8-alignment — valid only if the Mosaic
+    # window probe (scripts/mosaic_probe_fp8.py window80) passes on the
+    # target chip; queue10 measured the 32-aligned plan (ns8 at b256) 2x
+    # slower, so fp8 is only viable with this relaxation.
+    sub = 8
+    if (os.environ.get("VACNIC_SELFKV_FP8") == "1"
+            and os.environ.get("VACNIC_FP8_SUB8") != "1"):
+        sub = 32
+    def _ns_ok(n, s):
+        return (bk % n == 0 and (bk // n) % beams == 0
+                and (bk // n) % s == 0)
+    if not _ns_ok(n_self, sub):
+        fit = [n for n in range(min(n_self, bk), 0, -1) if _ns_ok(n, sub)]
+        if not fit:  # no fp8-legal chunking at this shape (tiny configs):
+            # fall back to bf16 legality — generate's fp8 gate re-checks
+            # bkc % 32 and keeps the cache bf16 in that case
+            fit = [n for n in range(min(n_self, bk), 0, -1) if _ns_ok(n, 8)]
+        # kernel-ineligible shapes (pallas_plan_exists false) can reach here
+        # with no legal chunking at all; keep the old pick() fallback of 1
+        n_self = fit[0] if fit else 1
     n_cross = int(os.environ.get(
         "VACNIC_PLAN_NCROSS", pick(max(1, b // 8), lambda n: True)))
     # enc_bias blocks are [B/n_cross, S]: Mosaic needs the sublane dim

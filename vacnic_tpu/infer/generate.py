@@ -105,10 +105,19 @@ def _decode_from_encoder(
     int8_default = "1" if jax.default_backend() != "cpu" else "0"
     cross_int8 = use_pallas and os.environ.get("VACNIC_CROSSKV_INT8",
                                                int8_default) == "1"
+    # fp8 (e4m3) SELF cache (kernel path only, opt-in VACNIC_SELFKV_FP8=1):
+    # halves the other big per-step fetch. No scale machinery (the kernel
+    # clamps to ±448 on store); requires bkc % 32 == 0 ((32,128) fp8 tiling)
+    # which choose_plan enforces when the knob is set.
+    fp8_sub = 8 if os.environ.get("VACNIC_FP8_SUB8") == "1" else 32
+    self_fp8 = (use_pallas and plan is not None
+                and os.environ.get("VACNIC_SELFKV_FP8") == "1"
+                and (bsz * kp) % (plan.n_self * fp8_sub) == 0)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
     cache = DF.build_decode_cache(params, enc_hidden, kp, dcfg.max_length, cfg, dtype,
                                   pad_to=pad_to, time_major=use_pallas,
-                                  cross_kv_int8=cross_int8)
+                                  cross_kv_int8=cross_int8,
+                                  self_kv_fp8=self_fp8)
     enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
     if use_pallas and kp != k:

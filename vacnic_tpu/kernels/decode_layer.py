@@ -275,8 +275,16 @@ def _kernel(
             q_s[...] = q
             kn_s[...] = k_new
             vn_s[...] = v_new
-            k_new_ref[0] = k_new.astype(k_new_ref.dtype)
-            v_new_ref[0] = v_new.astype(v_new_ref.dtype)
+            if k_new_ref.dtype == jnp.float8_e4m3fn:
+                # e4m3 cast overflows to NaN (no saturation); clamp to the
+                # fp8 max like the r3 bf16-bias clamp
+                k_new_ref[0] = jnp.clip(k_new.astype(jnp.float32),
+                                        -448.0, 448.0).astype(k_new_ref.dtype)
+                v_new_ref[0] = jnp.clip(v_new.astype(jnp.float32),
+                                        -448.0, 448.0).astype(v_new_ref.dtype)
+            else:
+                k_new_ref[0] = k_new.astype(k_new_ref.dtype)
+                v_new_ref[0] = v_new.astype(v_new_ref.dtype)
             snew_s[...] = jnp.dot(q * k_new, sel,
                                   preferred_element_type=jnp.float32)
             m_s[...] = jnp.full((bkc, H), -jnp.inf, jnp.float32)
@@ -301,12 +309,14 @@ def _kernel(
                 # reduce against the transposed ancestry one-hot. V side:
                 # contrib_h = (pm expanded over (t,r) ⊙ one-hot) ᵀ· V_raw_h —
                 # one K=TB·C'-deep matmul per head.
-                K2 = self_k_ref[0].reshape(tb * bkc, d)
+                # cast BEFORE the reshape: fp8 self-cache blocks convert to
+                # mm_dtype first (a no-op when the cache is already bf16)
+                K2 = self_k_ref[0].astype(mm_dtype).reshape(tb * bkc, d)
                 ancT = ancT_ref[0].astype(jnp.float32)  # [TB, C'(r), C]
                 s_heads = []
                 for h in range(H):
                     s_raw = jax.lax.dot_general(
-                        K2[:, h * hd:(h + 1) * hd].astype(mm_dtype),
+                        K2[:, h * hd:(h + 1) * hd],
                         qm[:, h * hd:(h + 1) * hd],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # [TB·C', C]

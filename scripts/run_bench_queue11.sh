@@ -23,5 +23,6 @@ run probe_fp8_window160 600 python scripts/mosaic_probe_fp8.py window
 run probe_fp8_window80 600 python scripts/mosaic_probe_fp8.py window80
 run probe_model_fp8 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_SELFKV_FP8=1 VACNIC_FP8_SUB8=1 python scripts/profile_decode_b128.py
 run bench_b256_fp8 1500 env VACNIC_SELFKV_FP8=1 VACNIC_FP8_SUB8=1 BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
+run bench_b512_fp8 1500 env BENCH_BATCH=512 VACNIC_SELFKV_FP8=1 VACNIC_FP8_SUB8=1 VACNIC_PLAN_NFFN=4 BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
 run bench_b256_default 1500 env BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
 echo ALL_DONE_QUEUE11 >> "$LOG"

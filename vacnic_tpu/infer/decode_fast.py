@@ -337,6 +337,19 @@ def decode_step(
         residual = x
         qkv = (jnp.dot(x, w_qkv, preferred_element_type=jnp.float32) + b_qkv).astype(dtype)
         q, k_new, v_new = jnp.split(qkv, 3, axis=-1)  # [B·K, d] each
+        if os.environ.get("VACNIC_SELFKV_FP8_SIM") == "1":
+            # quality-gate instrument (gate_selfkv_fp8.py): apply the fp8
+            # kernel path's storage quantization (clip ±448 + e4m3
+            # round-trip) to the rows the XLA path writes, so the CPU/
+            # XLA-runnable gate carries the same — slightly MORE, since the
+            # round-trip re-rounds to `dtype` — error as the fp8 cache.
+            # NOTE: the kernel path quantizes ONCE at write and reads the
+            # stored row thereafter; this sim quantizes the same write, so
+            # subsequent steps read identical values.
+            def _rt(v):
+                return (jnp.clip(v.astype(jnp.float32), -448.0, 448.0)
+                        .astype(jnp.float8_e4m3fn).astype(dtype))
+            k_new, v_new = _rt(k_new), _rt(v_new)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[:, None, :], (0, pos, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[:, None, :], (0, pos, 0))
         qh = (q * scaling).reshape(bk_total, h_heads, hd)

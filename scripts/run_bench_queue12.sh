@@ -24,5 +24,11 @@ run timed_bf16 600 python scripts/mosaic_probe_int4.py timed_bf16
 run timed_int8 600 python scripts/mosaic_probe_int4.py timed_int8
 run timed_int4 600 python scripts/mosaic_probe_int4.py timed_int4
 run timed_fp8 600 python scripts/mosaic_probe_int4.py timed_fp8
+# n_t sweep at b256: time chunks multiply the self-phase grid steps
+# (ns16 x nt4 = 64 of ~98 phases/layer); nt trades pos-elision fetch savings
+# against per-step overheads — b128 tuned nt4, b256 never swept
+run probe_model_nt2 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NT=2 python scripts/profile_decode_b128.py
+run probe_model_nt8 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NT=8 python scripts/profile_decode_b128.py
+run probe_skel_nt2 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NT=2 VACNIC_KERNEL_SKELETON=1 python scripts/profile_decode_b128.py
 run bench_b256_confirm 1500 env BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
 echo ALL_DONE_QUEUE12 >> "$LOG"

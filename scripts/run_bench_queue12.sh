@@ -30,5 +30,9 @@ run timed_fp8 600 python scripts/mosaic_probe_int4.py timed_fp8
 run probe_model_nt2 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NT=2 python scripts/profile_decode_b128.py
 run probe_model_nt8 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NT=8 python scripts/profile_decode_b128.py
 run probe_skel_nt2 1140 env PROF_INT8=1 BENCH_BATCH=256 BENCH_PART=model VACNIC_PLAN_NT=2 VACNIC_KERNEL_SKELETON=1 python scripts/profile_decode_b128.py
+# b512 retry after the chunked cross-KV projection (the 12.9 GB f32
+# einsum intermediate was the 18.12G OOM, not the caches); bf16 self caches
+# still put the tally at ~16.5 GB — expect borderline, record the boundary
+run bench_b512_retry 1500 env BENCH_BATCH=512 VACNIC_PLAN_NFFN=4 BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
 run bench_b256_confirm 1500 env BENCH_LATENCY=0 BENCH_INNER=1 python bench.py
 echo ALL_DONE_QUEUE12 >> "$LOG"

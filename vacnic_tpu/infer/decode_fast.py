@@ -245,21 +245,45 @@ def build_decode_cache(
     hd = cfg.head_dim
 
     def project(w, bias):
-        x = jnp.einsum("bsd,lde->lbse", enc_out.astype(dtype), w,
-                       preferred_element_type=jnp.float32) + bias[:, None, None, :]
-        x = x.astype(dtype).reshape(-1, b, s, h, hd)
-        return x.transpose(0, 1, 3, 4, 2)  # [L, B, H, hd, S]
+        # per-layer lax.map: the single "bsd,lde->lbse" einsum materializes
+        # a full [L, B, S, D] f32 intermediate — 12.9 GB at b512, THE HBM
+        # wall that OOM'd the b512 bench (18.12G > 16G, queues 10/11); the
+        # map keeps one layer's [B, S, D] f32 (~1.1 GB) live at a time
+        def one(args):
+            wl, bl = args
+            x = (jnp.einsum("bsd,de->bse", enc_out.astype(dtype), wl,
+                            preferred_element_type=jnp.float32)
+                 + bl[None, None, :])
+            x = x.astype(dtype).reshape(b, s, h, hd)
+            return x.transpose(0, 2, 3, 1)  # [B, H, hd, S]
+
+        return jax.lax.map(one, (w, bias))  # [L, B, H, hd, S]
 
     n_layers = len(layers)
     bkt = b * num_beams
     shape = ((n_layers, max_len, bkt, d) if time_major
              else (n_layers, bkt, max_len, d))
-    cross_k, cross_v = project(wk, bk), project(wv, bv)
     ck_scale = cv_scale = None
     if cross_kv_int8:
-        cross_k, ck_scale = quantize_cross_kv(cross_k)
-        cross_v, cv_scale = quantize_cross_kv(cross_v)
-    elif os.environ.get("VACNIC_CROSSKV_INT8_SIM") == "1":
+        # quantize inside the per-layer map too: quantize_cross_kv's f32
+        # upcast of the full [L, B, H, hd, S] would re-create the 12.9 GB
+        # peak the chunked projection just removed
+        def project_q(w, bias):
+            def one(args):
+                wl, bl = args
+                x = (jnp.einsum("bsd,de->bse", enc_out.astype(dtype), wl,
+                                preferred_element_type=jnp.float32)
+                     + bl[None, None, :])
+                x = x.astype(dtype).reshape(b, s, h, hd).transpose(0, 2, 3, 1)
+                return quantize_cross_kv(x)
+
+            return jax.lax.map(one, (w, bias))
+
+        cross_k, ck_scale = project_q(wk, bk)
+        cross_v, cv_scale = project_q(wv, bv)
+    else:
+        cross_k, cross_v = project(wk, bk), project(wv, bv)
+    if not cross_kv_int8 and os.environ.get("VACNIC_CROSSKV_INT8_SIM") == "1":
         # quality-gate instrument (scripts/gate_crosskv_int8_cpu.py): apply
         # the kernel's int8 quantization as quantize->dequantize so the XLA
         # decode path (CPU-runnable) carries the same — slightly MORE, since

@@ -29,6 +29,7 @@ FAST_TESTS = {
     "test_decode_kernel.py::test_generate_mm_pallas_flag_token_parity",  # fused decode kernel e2e
     "test_lm_stats.py::test_generate_mm_stats_token_parity",       # fused LM-stats head e2e
     "test_beam_shortlist.py::test_fast_modes_match_full[0-shortlist]",   # beam-logic equivalence
+    "test_beam_shortlist.py::test_shortlist_blockmax_mode[None]",  # blockmax default (r4)
     "test_beam_418_semantics.py::test_chunked_top_k_matches_single_call",
     "test_beam_parity.py::test_beam_tokens_match_hf[2.0-0-2]",     # HF token identity
     "test_kernels.py::test_flash_matches_reference[128-256]",      # flash attention kernel

@@ -346,6 +346,45 @@ def test_choose_plan_fp8_chunking(monkeypatch):
     monkeypatch.delenv("VACNIC_SELFKV_FP8")
 
 
+def test_generate_mm_cache_pad4_token_parity(monkeypatch):
+    """T=4-aligned cache padding (VACNIC_CACHE_PAD_PALLAS=4; the b512 HBM
+    unlock) is token- and score-identical to the proven pad-16 layout —
+    pad rows past max_length are inert (attention masks t <= pos)."""
+    import dataclasses
+
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    cfg = VacnicConfig.tiny()
+    params = F.multimodal_bart_init(jax.random.PRNGKey(0), cfg.bart, cfg.fusion)
+    batch = synthetic_batch(cfg, batch_size=2, seed=0)
+    # max_length 10 -> T=16 at pad 16, T=12 at pad 4 (tb=3 with n_t=4
+    # after the divisor clamp) — exercises a non-multiple-of-16 T
+    dcfg = dataclasses.replace(cfg.decode, num_beams=2, max_length=10)
+
+    def run():
+        seqs, scores = generate_mm(
+            params, batch["article_ids"], create_mask(batch["article_ids"]),
+            batch["image_cls"], cfg.bart, cfg.fusion, dcfg,
+            face_features=batch["face_emb"],
+            face_mask=face_mask_from_emb(batch["face_emb"]),
+            name_ids=batch["names_art_ids"],
+            name_mask=create_mask(batch["names_art_ids"]),
+            dtype=jnp.float32)
+        return np.asarray(seqs), np.asarray(scores)
+
+    monkeypatch.setenv("VACNIC_PALLAS_DECODE", "1")
+    monkeypatch.delenv("VACNIC_CACHE_PAD_PALLAS", raising=False)
+    s16, sc16 = run()
+    monkeypatch.setenv("VACNIC_CACHE_PAD_PALLAS", "4")
+    s4, sc4 = run()
+    np.testing.assert_array_equal(s4, s16)
+    np.testing.assert_allclose(sc4, sc16, atol=1e-5, rtol=0)
+
+
 def test_generate_mm_selfkv_fp8_gate(monkeypatch):
     """The VACNIC_SELFKV_FP8 knob must actually reach build_decode_cache —
     ON at fp8-eligible shapes (bkc % 32 == 0), OFF at tiny shapes — guarding

@@ -78,7 +78,12 @@ def _decode_from_encoder(
             use_pallas = False
         else:
             kp = kp_cand
-    pad_to = 16 if use_pallas else int(os.environ.get("VACNIC_CACHE_PAD", 1))
+    # kernel path: T must split into n_t whole chunks (any multiple of 4
+    # works since the decode_stack T-assert relaxation); 16 stays the
+    # proven default, 4 pads max_length 50 to T=52 instead of 64 (−19%
+    # self-cache HBM — the b512 unlock)
+    pad_to = (int(os.environ.get("VACNIC_CACHE_PAD_PALLAS", 16)) if use_pallas
+              else int(os.environ.get("VACNIC_CACHE_PAD", 1)))
     plan = None
     if use_pallas:
         if decode_plan is not None:

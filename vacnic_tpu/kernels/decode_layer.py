@@ -583,7 +583,14 @@ def decode_stack(
     assert bk % plan.n_self == 0 and B % plan.n_cross == 0 and T % n_t == 0
     # row chunks must hold whole beam groups: ancestry stays chunk-local
     assert bkc % beams == 0 and anc_hot.shape == (T, bk, bkc)
-    assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 16 == 0
+    # T only needs to split into n_t whole chunks: tb is always a LEADING
+    # block dim, and the in-kernel sublane merges/splits ([tb, bkc, d] <->
+    # [tb*bkc, d]) are legal from bkc % 8 alone (choose_plan enforces that
+    # for Mosaic shapes; interpret-mode tiny configs run with bkc < 8).
+    # The old T % 16 was r2-era conservatism; relaxing to %4 lets
+    # max_length 50 pad to T=52 instead of 64 — −19% self-cache storage,
+    # the last 210 MB of the b512 HBM gap (VACNIC_CACHE_PAD_PALLAS=4).
+    assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 4 == 0
     assert not use_lm or (vp % plan.n_lm == 0 and b_lm.shape == (1, vp))
 
     n_self, n_cross = plan.n_self, plan.n_cross

@@ -29,6 +29,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# gate_crosskv_int8_cpu pins jax to CPU at import when argv lacks
+# "--phase" (its train phase needs that before jax init) — but THIS gate
+# must run on the TPU. Declare the decode phase before the import so the
+# module-level CPU pin never fires.
+if "--phase" not in sys.argv:
+    sys.argv += ["--phase", "decode"]
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -33,7 +33,11 @@ def test_bench_orchestrator_success_path():
     _orchestrate; the child inherits BENCH_TINY and prints the real line."""
     env = dict(os.environ, BENCH_TINY="1", BENCH_FORCE_ORCH="1",
                JAX_PLATFORMS="cpu", BENCH_RETRY_SLEEP="1")
-    # keep the preflight off the (possibly busy/hung) TPU tunnel
+    # DELIBERATE sitecustomize drop (normally NEVER replace PYTHONPATH —
+    # CLAUDE.md): this test must keep the preflight off the (possibly
+    # busy/hung) TPU tunnel, and the axon plugin's sitecustomize would
+    # re-register the backend. Works only because JAX_PLATFORMS=cpu is
+    # set in the same env. Do not copy this pattern without that pin.
     env["PYTHONPATH"] = REPO
     out = _run_bench(env)
     assert out.returncode == 0, out.stderr[-2000:]

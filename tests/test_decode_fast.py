@@ -106,3 +106,13 @@ def test_choose_plan_clamps_env_chunking(monkeypatch):
     monkeypatch.setenv("VACNIC_PLAN_NFFN", "4")
     plan = DF.choose_plan(2560, 512, 64, 4096)
     assert plan.n_ffn == 4
+    # NFFN=0 must fall back, not ZeroDivisionError (review finding)
+    monkeypatch.setenv("VACNIC_PLAN_NFFN", "0")
+    plan = DF.choose_plan(160, 32, 64, 4096)
+    assert plan.n_ffn == 2
+    monkeypatch.delenv("VACNIC_PLAN_NFFN")
+    # NCROSS env at b < 8 must clamp to 1, not StopIteration (review finding)
+    monkeypatch.setenv("VACNIC_PLAN_NCROSS", "2")
+    plan = DF.choose_plan(20, 4, 16, 256)
+    assert plan.n_cross == 1
+    monkeypatch.delenv("VACNIC_PLAN_NCROSS")

@@ -55,10 +55,14 @@ def synthetic_batch(cfg: VacnicConfig, batch_size: int, seed: int = 0,
     names_art[:, 0] = bart.bos_token_id
     names_art[:, -1] = bart.pad_token_id
 
-    noname = min(NONAME_ID, v - 1)
+    # names_3d (names_ids) is ALSO embedded through the NER table
+    # (train_step.embed_names_3d), so the same nv cap applies — incl. the
+    # <NONAME> sentinel, which at full vocab is 50266 but must stay inside
+    # a shrunk test NER table
+    noname = min(NONAME_ID, v - 1, fus.ner_vocab_size - 1)
     names_3d = np.full((b, num_names, name_len), bart.pad_token_id, np.int32)
     names_3d[:, :, 0] = bart.bos_token_id
-    names_3d[:, :, 1] = rng.randint(4, min(v, 50000), size=(b, num_names))
+    names_3d[:, :, 1] = rng.randint(4, nv, size=(b, num_names))
     names_3d[:, :, 2] = bart.eos_token_id
     names_3d[:, -1, 1] = noname  # trailing <NONAME> row (goodnews...py:356)
 

@@ -479,8 +479,10 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # scripts/logs_r4/bench_queue6.log) — largest valid value not above
     # the request
     if n_cross != 1 and (b % n_cross or (b // n_cross) % 8):
-        n_cross = next(n for n in range(min(n_cross, b // 8), 0, -1)
-                       if b % n == 0 and (n == 1 or (b // n) % 8 == 0))
+        # n=1 is always legal; keep it reachable when b < 8 makes the
+        # range start at 0 (StopIteration otherwise — review finding)
+        n_cross = next((n for n in range(min(n_cross, b // 8), 1, -1)
+                        if b % n == 0 and (b // n) % 8 == 0), 1)
     # Best measured per-batch configs on v5e (clean serial runs):
     #   b32  (bk 160): n_t=4, XLA LM head          -> ~88-91 cps
     #   b64  (bk 320): n_t=2, in-kernel LM n_lm=32 -> 107.4 cps
@@ -510,7 +512,7 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # — finer FFN columns trade a few grid steps for window footprint.
     nf_default = 2 if ffn_cols % 2 == 0 else 1
     n_ffn = int(os.environ.get("VACNIC_PLAN_NFFN", nf_default))
-    if ffn_cols % n_ffn:
+    if n_ffn < 1 or ffn_cols % n_ffn:  # 0/negative would ZeroDivisionError
         n_ffn = nf_default
     return ChunkPlan(
         n_self=n_self,

@@ -356,7 +356,9 @@ def _kernel(
             alpha_d = jnp.dot(alpha.astype(mm_dtype), sel.T,
                               preferred_element_type=jnp.float32)  # [C, d]
             if use_v2:
-                V2 = self_v_ref[0].reshape(tb * bkc, d)
+                # cast BEFORE the reshape (same as the K side): fp8 blocks
+                # must convert to mm_dtype before the sublane merge
+                V2 = self_v_ref[0].astype(mm_dtype).reshape(tb * bkc, d)
                 anc2 = anc2_ref[0].astype(mm_dtype)  # [TB·C', C]
                 # constant time-expansion one-hot: row (t·C'+r) → t
                 rr = jax.lax.broadcasted_iota(jnp.int32, (tb * bkc, tb), 0)

@@ -501,7 +501,13 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # at the r2-measured 2.
     default_nt = 4 if bk >= 640 else max(1, 16 // n_self)
     n_t = int(os.environ.get("VACNIC_PLAN_NT", default_nt))
-    n_lm = int(os.environ.get("VACNIC_PLAN_NLM", 32 if 160 < bk <= 480 else 0))
+    # in-kernel LM head default OFF everywhere since r4: its r2-era b64 win
+    # (107.4 vs 104.5) inverted under the blockmax beam logic — same-window
+    # paired b64: XLA head 140.0 (137.0/140.8/140.0) vs n_lm=32 131.7
+    # (131.7/132.8/127.6), scripts/logs_r4/bench_queue18.log. The blockmax
+    # row top-C reads the XLA head's logits straight out of fusion; the
+    # kernel head's separate [BK, Vp] emission no longer buys anything.
+    n_lm = int(os.environ.get("VACNIC_PLAN_NLM", 0))
     if t_max % n_t:
         # largest divisor of T not exceeding the request — decode_stack
         # would otherwise reset to 1 and corrupt sweep records

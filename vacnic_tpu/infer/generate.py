@@ -350,16 +350,16 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
     t_max = -(-dcfg.max_length // 16) * 16
     ffn_cols = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
     plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
-    # the auto plan enables n_lm only where it is known-stable; try the
-    # in-kernel head wherever it measured faster (bk >= ~320) unless the
-    # sweep override pinned a value. bkc (rows per self chunk) must stay in
-    # the proven-fit regime: at bkc=80 the n_lm=32 program COMPILES but
-    # spills (20.1 vs 8.0 ms/step measured r3) — a compile-probe cannot
-    # catch compile-success-but-slow, so gate on the known-good shape.
-    bkc = bsz * k // plan.n_self
-    want_lm = plan.n_lm if plan.n_lm > 0 else (
-        32 if bsz * k >= 320 and bkc <= 48
-        and "VACNIC_PLAN_NLM" not in _os.environ else 0)
+    # in-kernel LM head only when the plan (i.e. an explicit
+    # VACNIC_PLAN_NLM) requests it: the r2-era "bk >= 320 measured faster"
+    # auto-enable INVERTED under the r4 blockmax beam logic (paired b64:
+    # XLA head 140.0 vs n_lm=32 131.7, scripts/logs_r4/bench_queue18.log),
+    # so auto-probing would now actively pick the slower path. The probe
+    # machinery stays: an env-requested n_lm is still compile-probed and
+    # falls back on the Mosaic VMEM flake (bkc<=48 was the proven-fit
+    # regime; at bkc=80 the program compiles but spills, 20.1 vs 8.0
+    # ms/step r3 — a compile-probe cannot catch compile-success-but-slow).
+    want_lm = plan.n_lm
     key = _plan_probe_key(bsz, dcfg, cfg)
     if want_lm > 0 and _LM_PLAN_OK.get(key, True):
         try:

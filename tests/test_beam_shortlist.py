@@ -238,6 +238,40 @@ def test_opt_wide_beams(monkeypatch):
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
 
 
+def test_block_lse_mode(monkeypatch):
+    """VACNIC_BLOCK_LSE=1 (fused block pass for shortlist + lse) emits the
+    same sequences as the default shortlist AND the full path; scores agree
+    to f32 summation-order tolerance (the block-decomposed lse reorders the
+    exp sum — a per-row constant shift, so ranking semantics hold)."""
+    spec = CFGS[0]
+    for seed in (0, 1):
+        monkeypatch.delenv("VACNIC_BLOCK_LSE", raising=False)
+        s_full, sc_full = run(spec["cfg"], seed, "full", monkeypatch,
+                              spec["forced_bos"], vocab=64 * 128)
+        s_sl, sc_sl = run(spec["cfg"], seed, "shortlist", monkeypatch,
+                          spec["forced_bos"], vocab=64 * 128)
+        monkeypatch.setenv("VACNIC_BLOCK_LSE", "1")
+        s_bl, sc_bl = run(spec["cfg"], seed, "shortlist", monkeypatch,
+                          spec["forced_bos"], vocab=64 * 128)
+        monkeypatch.delenv("VACNIC_BLOCK_LSE")
+        np.testing.assert_array_equal(s_bl, s_sl)
+        np.testing.assert_array_equal(s_bl, s_full)
+        np.testing.assert_allclose(sc_bl, sc_sl, atol=2e-5, rtol=0)
+
+
+def test_block_lse_matches_logsumexp():
+    """block_lse on a padded block view equals jax's logsumexp to f32
+    tolerance, including rows whose pad block is all -inf."""
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (16, 50267), jnp.float32) * 5
+    r3, bm = BS._block_view(x)
+    got = BS.block_lse(r3, bm)
+    want = jax.scipy.special.logsumexp(x, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=0)
+    assert np.isfinite(np.asarray(got)).all()
+
+
 def test_blockmax_gate_small_vocab(monkeypatch):
     """blockmax needs >= C blocks; with a vocab too small for the widened C
     the gate must fall back to the plain row top-k instead of crashing

@@ -152,31 +152,51 @@ def shortlist_width(cfg: DecodeConfig) -> int:
     return c
 
 
-def row_topk_blockmax(logits: jax.Array, C: int, blk: int = 128):
-    """Exact per-row top-C via block-max: reduce each 128-token block to its
-    max (one streaming pass), pick the top-C blocks (every block holding a
-    top-C value must rank in the top-C by max — pigeonhole), gather those
-    C blocks and re-rank. Tie-faithful to lax.top_k: block ids are sorted
-    ascending before the gather, so within the gathered array position
-    order IS global index order and top_k's lowest-index tie-break carries
-    over. Env-selected alternative to the plain row top-k
-    (VACNIC_BEAM_TOPK=blockmax) for backend A/B."""
-    from vacnic_tpu.kernels.lm_stats import gather_rerank
-
+def _block_view(logits: jax.Array, blk: int = 128):
+    """[rows, n] → ([rows, nb, blk] padded with -inf, block maxima
+    [rows, nb]). The shared first stage of blockmax top-C and the fused
+    block-decomposed logsumexp."""
     rows, n = logits.shape
     nb = -(-n // blk)
     if nb * blk != n:
         logits = jnp.pad(logits, ((0, 0), (0, nb * blk - n)),
                          constant_values=-jnp.inf)
     r3 = logits.reshape(rows, nb, blk)
-    bm = r3.max(axis=-1)  # [rows, nb]
+    return r3, r3.max(axis=-1)
+
+
+def block_lse(r3: jax.Array, bm: jax.Array) -> jax.Array:
+    """Exact-to-f32-reorder logsumexp from the block view: per-block
+    exp-sums against the block max, combined against the row max. A pad
+    block is all -inf (bm = -inf): compute its partials against a clamped
+    max so exp(-inf − (−inf)) can't make NaN; its contribution is 0."""
+    bm_safe = jnp.maximum(bm, jnp.finfo(jnp.float32).min)  # [rows, nb]
+    bs = jnp.sum(jnp.exp(r3 - bm_safe[..., None]), axis=-1)
+    m = jnp.max(bm, axis=-1)  # [rows] — finite: real logits exist
+    return jnp.log(jnp.sum(bs * jnp.exp(bm_safe - m[:, None]), axis=-1)) + m
+
+
+def row_topk_blockmax(logits: jax.Array, C: int, blk: int = 128,
+                      blocks=None):
+    """Exact per-row top-C via block-max: reduce each 128-token block to its
+    max (one streaming pass), pick the top-C blocks (every block holding a
+    top-C value must rank in the top-C by max — pigeonhole), gather those
+    C blocks and re-rank. Tie-faithful to lax.top_k: block ids are sorted
+    ascending before the gather, so within the gathered array position
+    order IS global index order and top_k's lowest-index tie-break carries
+    over. DEFAULT row top-k since r4 (175.2 vs 158.6 paired e2e at b256).
+    `blocks` passes a precomputed (r3, bm) pair so the VACNIC_BLOCK_LSE
+    path shares one full-vocab pass between the shortlist and the lse."""
+    from vacnic_tpu.kernels.lm_stats import gather_rerank
+
+    r3, bm = _block_view(logits, blk) if blocks is None else blocks
     _, bid = jax.lax.top_k(bm, C)
     return gather_rerank(r3, bid, C)
 
 
 def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
                           eos_token_id, forced_bos_token_id, full_fn,
-                          C=None, pre=None):
+                          C=None, pre=None, blocks=None):
     """Per-step candidate selection via a per-row shortlist on RAW logits
     with an exactness certificate.
 
@@ -208,6 +228,11 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
 
         if pre is not None:
             cv, ci = pre  # [BK, C] raw-logit shortlist from the stats head
+        elif blocks is not None:
+            # fused path (VACNIC_BLOCK_LSE): the body already computed the
+            # block view for the lse — reuse it (eligibility was checked
+            # there with the same 2*C*128 bound)
+            cv, ci = row_topk_blockmax(logits, C, blocks=blocks)
         elif (_os.environ.get("VACNIC_BEAM_TOPK", "blockmax") == "blockmax"
                 and vocab_size >= 2 * C * 128):  # needs >= C blocks (exactness)
             # DEFAULT since r4: exact block-max two-stage row top-C. Same-
@@ -522,6 +547,19 @@ def beam_search(
         return (s.cur_len < L) & ~jnp.all(s.done)
 
     use_stats = step_stats_fn is not None and cand_mode == "shortlist"
+    # fused block-lse (opt-in): share ONE full-vocab block pass between the
+    # blockmax shortlist and the logsumexp instead of separate max-reduce +
+    # logsumexp passes. Same eligibility as the blockmax default; the
+    # certificate fallback's full path recomputes nothing (it takes lse as
+    # given — a per-row constant, so its selection semantics are intact).
+    import os as _os
+
+    _c_sl = max(2 * k + 6, 16)
+    use_block_lse = (
+        _os.environ.get("VACNIC_BLOCK_LSE", "0") == "1"
+        and cand_mode == "shortlist" and not use_stats
+        and _os.environ.get("VACNIC_BEAM_TOPK", "blockmax") == "blockmax"
+        and vocab_size >= 2 * min(_c_sl, vocab_size) * 128)
 
     def body(s: BeamState) -> BeamState:
         cur = s.cur_len
@@ -546,14 +584,23 @@ def beam_search(
         # log_softmax(logits) + scores, but skips materializing the [B·K, V]
         # logprob array (measured 1.65 ms/step at b128 —
         # scripts/profile_decode_b128.py loop_nosm delta).
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [BK]
+        blocks = None
+        if use_block_lse:
+            # fused block pass (VACNIC_BLOCK_LSE=1): one full-vocab read
+            # yields BOTH the blockmax shortlist's block maxima AND the lse
+            # (block-decomposed, exact to f32 summation order — the lse is
+            # a per-row constant shift, so within-row ranking is unchanged)
+            blocks = _block_view(logits)
+            lse = block_lse(*blocks)
+        else:
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [BK]
 
         if cand_mode == "shortlist":
             topk_scores, topk_beam, topk_tok = _candidates_shortlist(
                 logits, lse, s, cur, cfg=cfg, b=b, k=k, vocab_size=vocab_size,
                 eos_token_id=eos_token_id,
                 forced_bos_token_id=forced_bos_token_id,
-                full_fn=_candidates_full)
+                full_fn=_candidates_full, blocks=blocks)
         elif cand_mode == "opt":
             topk_scores, topk_beam, topk_tok = _candidates_opt(
                 logits, lse, s, cur, cfg=cfg, b=b, k=k, vocab_size=vocab_size,

@@ -243,6 +243,9 @@ def test_block_lse_mode(monkeypatch):
     same sequences as the default shortlist AND the full path; scores agree
     to f32 summation-order tolerance (the block-decomposed lse reorders the
     exp sum — a per-row constant shift, so ranking semantics hold)."""
+    # a stray VACNIC_BEAM_TOPK=plain would disable use_block_lse and make
+    # this test compare the shortlist against itself (vacuous-test trap)
+    monkeypatch.delenv("VACNIC_BEAM_TOPK", raising=False)
     spec = CFGS[0]
     for seed in (0, 1):
         monkeypatch.delenv("VACNIC_BLOCK_LSE", raising=False)

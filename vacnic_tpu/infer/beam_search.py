@@ -152,6 +152,16 @@ def shortlist_width(cfg: DecodeConfig) -> int:
     return c
 
 
+def shortlist_c_width(k: int) -> int:
+    """Per-row shortlist width C: 2K winners + certificate tolerance, floor
+    16 (the TPU TopK fast path). SINGLE SOURCE — _candidates_shortlist's
+    default, generate's stats-head width, and the block-lse eligibility
+    gate must all agree or the fused path's exactness bound breaks.
+    (Distinct from shortlist_width(cfg) above — the theoretical ban-bound
+    margin used by resolve_cand_mode's big-vocab gate.)"""
+    return max(2 * k + 6, 16)
+
+
 def _block_view(logits: jax.Array, blk: int = 128):
     """[rows, n] → ([rows, nb, blk] padded with -inf, block maxima
     [rows, nb]). The shared first stage of blockmax top-C and the fused
@@ -218,7 +228,7 @@ def _candidates_shortlist(logits, lse, s, cur, *, cfg, b, k, vocab_size,
         C = pre[0].shape[-1]
         assert C > 2 * k, (C, k)  # certificate tolerance must be positive
     elif C is None:
-        C = max(2 * k + 6, 16)
+        C = shortlist_c_width(k)
     C = min(C, vocab_size)
 
     banned = _banned_token_list(s, cur, cfg=cfg, eos_token_id=eos_token_id)
@@ -554,7 +564,7 @@ def beam_search(
     # given — a per-row constant, so its selection semantics are intact).
     import os as _os
 
-    _c_sl = max(2 * k + 6, 16)
+    _c_sl = shortlist_c_width(k)
     use_block_lse = (
         _os.environ.get("VACNIC_BLOCK_LSE", "0") == "1"
         and cand_mode == "shortlist" and not use_stats

@@ -439,7 +439,7 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # model step vs 8.86 at 16 and 15.5 at 4 — bigger row chunks halve the
     # phase count and double the gather depth; end-to-end 141.3 cps vs
     # 133.3. (bkc=80 disqualifies the in-kernel LM head — see
-    # generate_mm_robust's bkc gate.)
+    # the r2-era in-kernel-LM gating, superseded in r4 — n_lm defaults 0.)
     ns_default = pick(max(1, bk // 80), lambda n: (bk // n) % 8 == 0) \
         if bk >= 640 else pick(max(1, bk // 40), lambda n: (bk // n) % 8 == 0)
     n_self = int(os.environ.get("VACNIC_PLAN_NSELF", ns_default))
@@ -493,8 +493,9 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # in-kernel LM default only at bk≈320: at bk 640 the [BK, VB] logits
     # blocks leave <2 MB of VMEM-stack slack and the compiler's stack
     # accounting drifts a few MB between compiles — too flaky for an
-    # unconditional default; generate_mm_robust probes n_lm=32 per shape
-    # and falls back (with int8 cross-KV it fit and ran the r3 bench).
+    # unconditional default. (r4: n_lm defaults to 0 everywhere — the b64
+    # in-kernel-LM win inverted under blockmax; generate_mm_robust probes
+    # only an env-requested VACNIC_PLAN_NLM and falls back on the flake.)
     # n_t: time chunks restore the pos-scalar-prefetch elision (cache reads
     # and ancestry-gather FLOPs scale with decoded length). r3 MEASURED at
     # b128: n_t=4 beats 1 (8.86 vs 9.23 ms model step with int8); b64 kept

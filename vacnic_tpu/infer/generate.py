@@ -149,7 +149,8 @@ def _decode_from_encoder(
     # measured on chip (VACNIC_LM_STATS=1); shortlist-path only, exclusive
     # with the in-kernel LM head.
     step_stats_fn = None
-    shortlist_c = max(2 * k + 6, 16)
+    from vacnic_tpu.infer.beam_search import shortlist_c_width
+    shortlist_c = shortlist_c_width(k)
     if os.environ.get("VACNIC_LM_STATS") == "1":
         from vacnic_tpu.kernels.lm_stats import VBLOCK
 
@@ -359,13 +360,11 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
     # falls back on the Mosaic VMEM flake (bkc<=48 was the proven-fit
     # regime; at bkc=80 the program compiles but spills, 20.1 vs 8.0
     # ms/step r3 — a compile-probe cannot catch compile-success-but-slow).
-    want_lm = plan.n_lm
     key = _plan_probe_key(bsz, dcfg, cfg)
-    if want_lm > 0 and _LM_PLAN_OK.get(key, True):
+    if plan.n_lm > 0 and _LM_PLAN_OK.get(key, True):
         try:
             out = generate_mm(params, input_ids, attention_mask, image_features,
-                              cfg, fcfg, dcfg,
-                              decode_plan=plan._replace(n_lm=want_lm), **kw)
+                              cfg, fcfg, dcfg, decode_plan=plan, **kw)
             _LM_PLAN_OK[key] = True
             return out
         except Exception as e:  # Mosaic VMEM / scoped-stack rejection

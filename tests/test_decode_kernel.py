@@ -333,6 +333,168 @@ def test_selfkv_fp8_quality_proxy(setup):
     assert np.max(np.abs(q_logits - ref_logits)) < 0.3
 
 
+def test_selfkv_int8_exact_on_pow2_scales(setup):
+    """int8 self-cache: with past rows on the int8 grid and POWER-OF-TWO
+    per-(L, t, H) scales, the step's logits are BIT-IDENTICAL to a
+    full-precision cache holding the dequantized values — multiplying by a
+    power of two is exact and commutes with every f32 rounding in the score
+    (scale × Σ q·k) and value (Σ (p·scale)·v) folds, so any difference
+    would be a plumbing bug (block specs, mask interaction, pap handling)."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    H = cfg.decoder_attention_heads
+    hd = cfg.d_model // H
+    L, T = cache_tm.self_k.shape[0], cache_tm.self_k.shape[1]
+    rng = np.random.RandomState(5)
+    pos = jnp.int32(3)
+    ints_k = rng.randint(-127, 128, cache_tm.self_k.shape).astype(np.float32)
+    ints_v = rng.randint(-127, 128, cache_tm.self_v.shape).astype(np.float32)
+    # rows >= pos stay zero (kernel invariant: written only after the step)
+    tmask = (np.arange(T) < 3)[None, :, None, None]
+    ints_k *= tmask
+    ints_v *= tmask
+    sk = 2.0 ** rng.randint(-3, 3, (L, T, H)).astype(np.float32)
+    sv = 2.0 ** rng.randint(-3, 3, (L, T, H)).astype(np.float32)
+    deq_k = (ints_k.reshape(L, T, bk, H, hd)
+             * sk[:, :, None, :, None]).reshape(ints_k.shape)
+    deq_v = (ints_v.reshape(L, T, bk, H, hd)
+             * sv[:, :, None, :, None]).reshape(ints_v.shape)
+    base = cache_tm._replace(self_k=jnp.asarray(deq_k),
+                             self_v=jnp.asarray(deq_v))
+    quant = cache_tm._replace(self_k=jnp.asarray(ints_k).astype(jnp.int8),
+                              self_v=jnp.asarray(ints_v).astype(jnp.int8),
+                              self_k_scale=jnp.asarray(sk),
+                              self_v_scale=jnp.asarray(sv))
+    tok = jnp.full((bk, 1), 7, jnp.int32)
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+    base_logits, _ = pal(base, tok, pos)
+    q_logits, q_cache = pal(quant, tok, pos)
+    np.testing.assert_array_equal(np.asarray(q_logits), np.asarray(base_logits))
+    # past rows and their scales round-trip untouched; the step's scale row
+    # lands at pos
+    np.testing.assert_array_equal(
+        np.asarray(q_cache.self_k, np.int32)[:, :3],
+        ints_k[:, :3].astype(np.int32))
+    assert np.all(np.asarray(q_cache.self_k_scale)[:, 3] > 0)
+
+
+def test_selfkv_int8_quality_proxy(setup):
+    """Real int8 self cache through the REAL write path (decode_step_pallas
+    quantizes the kernel's new rows via quantize_self_rows): greedy tokens
+    identical to the full-precision roll and small final-logit error —
+    the CPU half of the on-chip gate (scripts/gate_selfkv_int8_cpu.py)."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    quant = DF.build_decode_cache(
+        params,
+        jax.random.normal(jax.random.PRNGKey(1),
+                          (BATCH, S, cfg.d_model), jnp.float32),
+        BEAMS, MAX_LEN, cfg, dtype=jnp.float32, pad_to=16, time_major=True,
+        self_kv_int8=True)
+    # same cross K/V as the baseline cache so ONLY the self path differs
+    quant = quant._replace(cross_k=cache_tm.cross_k, cross_v=cache_tm.cross_v)
+    assert quant.self_k.dtype == jnp.int8
+    assert quant.self_k_scale.shape == (cfg.decoder_layers,
+                                        quant.self_k.shape[1],
+                                        cfg.decoder_attention_heads)
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+
+    def roll(cache):
+        tok = jnp.full((bk, 1), 2, jnp.int32)
+        toks = []
+        for pos in range(5):
+            logits, cache = pal(cache, tok, jnp.int32(pos))
+            tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+            toks.append(np.asarray(tok[:, 0]))
+        return np.stack(toks), np.asarray(logits)
+
+    ref_toks, ref_logits = roll(cache_tm)
+    q_toks, q_logits = roll(quant)
+    np.testing.assert_array_equal(q_toks, ref_toks)
+    assert np.max(np.abs(q_logits - ref_logits)) < 0.3
+
+
+def test_quantize_self_rows_roundtrip():
+    """Per-(L, H) symmetric quantization: scale shapes, the ≤ scale/2
+    round-trip bound, and the zero-rows guard (scale floor, no NaN)."""
+    rng = np.random.RandomState(7)
+    rows = jnp.asarray(rng.randn(3, 8, 32).astype(np.float32))
+    q, s = DF.quantize_self_rows(rows, n_heads=4)
+    assert q.shape == rows.shape and q.dtype == jnp.int8
+    assert s.shape == (3, 4)
+    deq = (np.asarray(q, np.float32).reshape(3, 8, 4, 8)
+           * np.asarray(s)[:, None, :, None]).reshape(3, 8, 32)
+    err = np.abs(deq - np.asarray(rows))
+    bound = np.asarray(s)[:, None, :, None] * 0.5 + 1e-7
+    assert np.all(err.reshape(3, 8, 4, 8) <= bound)
+    qz, sz = DF.quantize_self_rows(jnp.zeros((2, 4, 16)), n_heads=2)
+    assert np.all(np.asarray(sz) == 1e-12) and not np.any(np.asarray(qz))
+
+
+def test_choose_plan_int8_chunking(monkeypatch):
+    """VACNIC_SELFKV_INT8=1 constrains self row chunks to (32,128)-tileable
+    widths unless VACNIC_INT8_SUB8=1 relaxes to the probed 8-alignment."""
+    monkeypatch.setenv("VACNIC_SELFKV_INT8", "1")
+    plan = DF.choose_plan(1280, 256, 64, 4096)
+    assert (1280 // plan.n_self) % 32 == 0
+    monkeypatch.setenv("VACNIC_INT8_SUB8", "1")
+    plan = DF.choose_plan(1280, 256, 64, 4096)
+    assert (1280 // plan.n_self) % 8 == 0
+    monkeypatch.delenv("VACNIC_SELFKV_INT8")
+    monkeypatch.delenv("VACNIC_INT8_SUB8")
+
+
+def test_generate_mm_selfkv_int8_engaged(monkeypatch):
+    """VACNIC_SELFKV_INT8=1 (+SUB8 relaxation) routes generate_mm through an
+    int8 self cache end-to-end on kernel-eligible shapes. The engagement is
+    asserted by interposing build_decode_cache (vacuous-test trap: an env
+    knob that silently gates itself off would otherwise still 'pass'), and
+    the decode must produce in-vocab sequences with finite scores."""
+    import dataclasses
+
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.data.synthetic import synthetic_batch
+    from vacnic_tpu.infer.generate import generate_mm
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    cfg = VacnicConfig.tiny()
+    params = F.multimodal_bart_init(jax.random.PRNGKey(0), cfg.bart, cfg.fusion)
+    # bk = 4*2 = 8: one 8-row chunk — legal under the SUB8 relaxation
+    batch = synthetic_batch(cfg, batch_size=4, seed=0)
+    dcfg = dataclasses.replace(cfg.decode, num_beams=2, max_length=8)
+    monkeypatch.setenv("VACNIC_PALLAS_DECODE", "1")
+    monkeypatch.setenv("VACNIC_SELFKV_INT8", "1")
+    monkeypatch.setenv("VACNIC_INT8_SUB8", "1")
+
+    seen = {}
+    orig = DF.build_decode_cache
+
+    def spy(*args, **kwargs):
+        cache = orig(*args, **kwargs)
+        seen["self_kv_int8"] = kwargs.get("self_kv_int8", False)
+        seen["dtype"] = cache.self_k.dtype
+        return cache
+
+    monkeypatch.setattr(DF, "build_decode_cache", spy)
+    seqs, scores = generate_mm(
+        params, batch["article_ids"], create_mask(batch["article_ids"]),
+        batch["image_cls"], cfg.bart, cfg.fusion, dcfg,
+        face_features=batch["face_emb"],
+        face_mask=face_mask_from_emb(batch["face_emb"]),
+        name_ids=batch["names_art_ids"],
+        name_mask=create_mask(batch["names_art_ids"]),
+        dtype=jnp.float32)
+    assert seen["self_kv_int8"] is True and seen["dtype"] == jnp.int8
+    assert np.all(np.isfinite(np.asarray(scores)))
+    s = np.asarray(seqs)
+    assert s.shape[0] == 4 and np.all(s >= 0) and np.all(s < cfg.bart.vocab_size)
+
+
 def test_choose_plan_fp8_chunking(monkeypatch):
     """VACNIC_SELFKV_FP8=1 constrains self row chunks to (32,128)-tileable
     widths (bkc % 32, on top of beams- and 8-alignment); shapes with no

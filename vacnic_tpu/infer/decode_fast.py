@@ -89,6 +89,15 @@ class DecodeCache(NamedTuple):
     # (V side) — zero extra matmul cost (kernels/decode_layer._cross_attn).
     cross_k_scale: jax.Array | None = None  # [L, B, H, hd] f32
     cross_v_scale: jax.Array | None = None  # [L, B, H, hd] f32
+    # int8 SELF cache (kernel path): per-(L, t, H) symmetric scales, one per
+    # written time row. All B·K rows written at step t share a scale, which
+    # makes the scales ANCESTRY-INVARIANT: beam reorders recompose only the
+    # ancestry matrix, never the scales — a gathered row at time t always
+    # dequantizes with scale[l, t, h] regardless of which beam wrote it.
+    # K scale multiplies the score block, V scale folds into the softmax
+    # probabilities before the value sum (kernels/decode_layer._self_attn).
+    self_k_scale: jax.Array | None = None  # [L, T, H] f32
+    self_v_scale: jax.Array | None = None  # [L, T, H] f32
 
 
 def pallas_plan_exists(b: int, beams: int) -> bool:
@@ -221,6 +230,7 @@ def build_decode_cache(
     time_major: bool = False,
     cross_kv_int8: bool = False,
     self_kv_fp8: bool = False,
+    self_kv_int8: bool = False,
 ) -> DecodeCache:
     """Cross K/V computed once per batch item; self cache zero-initialized at
     batch·beams. `pad_to=16` rounds the T dim up to the bf16 sublane tile
@@ -231,7 +241,14 @@ def build_decode_cache(
     symmetric scales (kernel path only — halves the per-step HBM floor).
     `self_kv_fp8=True` stores the SELF cache as float8_e4m3fn (kernel path
     only — halves the other big per-step fetch; no scale machinery, the
-    kernel clamps to ±448 on store since the e4m3 cast overflows to NaN)."""
+    kernel clamps to ±448 on store since the e4m3 cast overflows to NaN —
+    MEASURED NEGATIVE on v5e, the fp8→bf16 convert is emulated; kept for
+    fp8-native generations). `self_kv_int8=True` stores the self cache as
+    int8 with per-(L, t, H) scales quantized at the row write
+    (quantize_self_rows) — int8 converts NATIVELY on v5e (the r4 dtype
+    ladder measured int8 fetches at ~840 GB/s), so this halves the
+    self-cache fetch term without fp8's conversion tax."""
+    assert not (self_kv_fp8 and self_kv_int8)
     layers = params["decoder"]["layers"]
     b, s, d = enc_out.shape
     max_len = -(-max_len // pad_to) * pad_to
@@ -293,7 +310,14 @@ def build_decode_cache(
         qv, sv = quantize_cross_kv(cross_v)
         cross_k = (qk.astype(jnp.float32) * sk[..., None]).astype(dtype)
         cross_v = (qv.astype(jnp.float32) * sv[..., None]).astype(dtype)
-    self_dtype = jnp.float8_e4m3fn if self_kv_fp8 else dtype
+    self_dtype = (jnp.float8_e4m3fn if self_kv_fp8
+                  else jnp.int8 if self_kv_int8 else dtype)
+    # per-row self scales: zero-init is safe — every row t < pos is written
+    # (with its scale) before any step reads it, and rows >= pos are masked
+    sk_scale = sv_scale = None
+    if self_kv_int8:
+        sk_scale = jnp.zeros((n_layers, max_len, h), jnp.float32)
+        sv_scale = jnp.zeros((n_layers, max_len, h), jnp.float32)
     return DecodeCache(
         self_k=jnp.zeros(shape, self_dtype),
         self_v=jnp.zeros(shape, self_dtype),
@@ -304,6 +328,8 @@ def build_decode_cache(
         pos=jnp.int32(0) if time_major else None,
         cross_k_scale=ck_scale,
         cross_v_scale=cv_scale,
+        self_k_scale=sk_scale,
+        self_v_scale=sv_scale,
     )
 
 
@@ -319,6 +345,24 @@ def quantize_cross_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def quantize_self_rows(rows: jax.Array, n_heads: int
+                       ) -> tuple[jax.Array, jax.Array]:
+    """[L, BK, D] new self K (or V) rows → (int8 [L, BK, D], f32 [L, H]).
+
+    Symmetric per-(layer, head) quantization over the (B·K rows, hd channels)
+    group — the granularity that keeps scales ancestry-invariant (every row
+    written this step shares its layer/head scale; DecodeCache.self_k_scale).
+    Runs in XLA at the cache-row write (~16 MB/step at b256 — noise), so the
+    kernel's output rows stay full precision for the in-step mask-merge."""
+    lr, bk, d = rows.shape
+    hd = d // n_heads
+    xf = rows.astype(jnp.float32).reshape(lr, bk, n_heads, hd)
+    scale = jnp.max(jnp.abs(xf), axis=(1, 3)) / 127.0  # [L, H]
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(xf / scale[:, None, :, None]), -127, 127)
+    return q.astype(jnp.int8).reshape(lr, bk, d), scale
 
 
 def _ln(p: jax.Array, x: jax.Array) -> jax.Array:
@@ -374,6 +418,20 @@ def decode_step(
                 return (jnp.clip(v.astype(jnp.float32), -448.0, 448.0)
                         .astype(jnp.float8_e4m3fn).astype(dtype))
             k_new, v_new = _rt(k_new), _rt(v_new)
+        if os.environ.get("VACNIC_SELFKV_INT8_SIM") == "1":
+            # quality-gate instrument (gate_selfkv_int8_cpu.py): apply the
+            # int8 kernel path's storage quantization (per-(H) scale over the
+            # (rows, hd) group, quantize_self_rows) as quantize->dequantize
+            # on the rows the XLA path writes — the CPU-runnable gate then
+            # carries the same (slightly MORE, the dequant re-rounds to
+            # `dtype`) error as the int8 cache. Write-once semantics match:
+            # both paths quantize at the write and read the stored row.
+            def _rt8(v):
+                q, s = quantize_self_rows(v[None], h_heads)
+                deq = (q[0].astype(jnp.float32).reshape(bk_total, h_heads, hd)
+                       * s[0][None, :, None])
+                return deq.reshape(bk_total, d).astype(dtype)
+            k_new, v_new = _rt8(k_new), _rt8(v_new)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[:, None, :], (0, pos, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[:, None, :], (0, pos, 0))
         qh = (q * scaling).reshape(bk_total, h_heads, hd)
@@ -458,6 +516,12 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     sub = 8
     if (os.environ.get("VACNIC_SELFKV_FP8") == "1"
             and os.environ.get("VACNIC_FP8_SUB8") != "1"):
+        sub = 32
+    # int8 self-cache blocks share the 8-bit (32,128) tiling question; the
+    # r4 window probe (scripts/mosaic_probe_int8win.py) validates bkc=80
+    # int8 windows on the target chip before VACNIC_INT8_SUB8=1 is used
+    if (os.environ.get("VACNIC_SELFKV_INT8") == "1"
+            and os.environ.get("VACNIC_INT8_SUB8") != "1"):
         sub = 32
     def _ns_ok(n, s):
         return (bk % n == 0 and (bk // n) % beams == 0
@@ -607,7 +671,20 @@ def _stack_body(dp, params, cache, x, pos, enc_mask_bias, cfg, plan, interpret):
         enc_mask_bias[:, 0, 0, :].astype(jnp.float32), dp.w_lm, dp.b_lm,
         cfg, plan=plan, interpret=interpret,
         cross_k_scale=cache.cross_k_scale, cross_v_scale=cache.cross_v_scale,
+        self_k_scale=cache.self_k_scale, self_v_scale=cache.self_v_scale,
     )
+    if cache.self_k.dtype == jnp.int8:
+        # int8 self cache: quantize the kernel's full-precision new rows at
+        # the write (per-(L, H) scales over this step's rows — ancestry-
+        # invariant, see quantize_self_rows) and record the step's scales
+        h = cfg.decoder_attention_heads
+        k_new, ks = quantize_self_rows(k_new, h)
+        v_new, vs = quantize_self_rows(v_new, h)
+        cache = cache._replace(
+            self_k_scale=jax.lax.dynamic_update_slice(
+                cache.self_k_scale, ks[:, None, :], (0, pos, 0)),
+            self_v_scale=jax.lax.dynamic_update_slice(
+                cache.self_v_scale, vs[:, None, :], (0, pos, 0)))
     new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, None, :, :],
                                          (0, pos, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],

@@ -118,11 +118,22 @@ def _decode_from_encoder(
     self_fp8 = (use_pallas and plan is not None
                 and os.environ.get("VACNIC_SELFKV_FP8") == "1"
                 and (bsz * kp) % (plan.n_self * fp8_sub) == 0)
+    # int8 SELF cache (kernel path, opt-in VACNIC_SELFKV_INT8=1): halves the
+    # self-cache fetch term (~2 GB/step at b256) with per-(L, t, H) scales
+    # quantized at the row write. Unlike fp8, int8 converts NATIVELY on v5e
+    # (r4 dtype ladder: int8 fetches ~840 GB/s); the v2 gather formulation
+    # is excluded (decode_stack asserts — measured-slower inventory).
+    int8_sub = 8 if os.environ.get("VACNIC_INT8_SUB8") == "1" else 32
+    self_int8 = (use_pallas and plan is not None and not self_fp8
+                 and not plan.gather_v2
+                 and os.environ.get("VACNIC_SELFKV_INT8") == "1"
+                 and (bsz * kp) % (plan.n_self * int8_sub) == 0)
     # cross K/V stays at batch level (beam-invariant); only q sees the beams
     cache = DF.build_decode_cache(params, enc_hidden, kp, dcfg.max_length, cfg, dtype,
                                   pad_to=pad_to, time_major=use_pallas,
                                   cross_kv_int8=cross_int8,
-                                  self_kv_fp8=self_fp8)
+                                  self_kv_fp8=self_fp8,
+                                  self_kv_int8=self_int8)
     enc_bias = expand_mask(attention_mask, 1)  # [B, 1, 1, S]
 
     if use_pallas and kp != k:

@@ -110,8 +110,10 @@ def _kernel(
     w_fc2_ref,     # [1, FC, d]
     b_fc2_ref,     # [1, 1, d] f32
     ln_f_ref,      # [1, 2, d] f32
-    self_k_ref,    # [1, TB, BKC, D] bf16 (time-major, unreordered)
+    self_k_ref,    # [1, TB, BKC, D] bf16 (time-major, unreordered; or int8)
     self_v_ref,    # [1, TB, BKC, D] bf16
+    sk_scale_ref,  # [1, TB, H] f32 — int8 self-cache per-(t, head) dequant
+    sv_scale_ref,  # [1, TB, H] f32   scales (dummies unless self_quant)
     anc_ref,       # [TB, BKC, BKC] — ancestry one-hot (legacy gather; dummy if v2)
     ancT_ref,      # [1, TB, BKC(r), BKC(c)] — transposed one-hot (v2; dummy else)
     anc2_ref,      # [1, TB·BKC(t·r), BKC(c)] — row-major (t,r) one-hot (v2)
@@ -147,6 +149,7 @@ def _kernel(
     act_name: str,
     mm_dtype=jnp.bfloat16,
     quant: bool = False,
+    self_quant: bool = False,
     no_gather: bool = False,
     no_cross_sm: bool = False,
     no_self_sm: bool = False,
@@ -216,7 +219,8 @@ def _kernel(
         @pl.when((l < n_layers) & (p < ns))
         def _sk_self():
             s = _touch(x0_ref, w_qkv_ref, b_qkv_ref, w_so_ref, ln_s_ref,
-                       self_k_ref, self_v_ref, anc_ref, ancT_ref, anc2_ref)
+                       self_k_ref, self_v_ref, sk_scale_ref, sv_scale_ref,
+                       anc_ref, ancT_ref, anc2_ref)
             m_s[...] = jnp.full(m_s.shape, s, jnp.float32)
 
             @pl.when(tc == 0)
@@ -336,9 +340,27 @@ def _kernel(
                         preferred_element_type=jnp.float32).astype(mm_dtype)
                 kg = gat(self_k_ref)  # [TB, C, D]
                 prod = qm[None, :, :] * kg  # [TB, C, D]
-                scores = jnp.dot(prod.reshape(tb * bkc, d), sel,
-                                 preferred_element_type=jnp.float32
-                                 ).reshape(tb, bkc, H)
+                scores2 = jnp.dot(prod.reshape(tb * bkc, d), sel,
+                                  preferred_element_type=jnp.float32)
+                if self_quant:
+                    # int8 self K: rows written at step t share scale[t, h]
+                    # (ancestry-invariant — quantize_self_rows), so dequant
+                    # is a per-(t, h) multiply on the score block. Expand the
+                    # [TB, H] scale block to one row per (t, c) with a
+                    # constant one-hot matmul (2D — Mosaic rejects 3D
+                    # middle-dim broadcasts, the encoder enc_bias lesson) and
+                    # multiply BEFORE the [TB, C, H] reshape.
+                    rr8 = jax.lax.broadcasted_iota(
+                        jnp.int32, (tb * bkc, tb), 0)
+                    tt8 = jax.lax.broadcasted_iota(
+                        jnp.int32, (tb * bkc, tb), 1)
+                    exp8 = (rr8 // bkc == tt8).astype(jnp.float32)
+                    sks2 = jnp.dot(exp8, sk_scale_ref[0].astype(jnp.float32),
+                                   preferred_element_type=jnp.float32)
+                    svs2 = jnp.dot(exp8, sv_scale_ref[0].astype(jnp.float32),
+                                   preferred_element_type=jnp.float32)
+                    scores2 = scores2 * sks2
+                scores = scores2.reshape(tb, bkc, H)
             scores = jnp.where(gt == pos, snew_s[...][None, :, :],
                                jnp.where(gt < pos, scores, -jnp.inf))
             # online softmax (exact): rescale running stats to the new max
@@ -383,6 +405,15 @@ def _kernel(
                     preferred_element_type=jnp.float32)  # [C, d]
                 pap_s[...] = alpha_d * pap_s[...] + pap
             else:
+                if self_quant:
+                    # int8 self V: value contraction is over (t, row), so the
+                    # per-(t, h) scale folds into the softmax probabilities —
+                    # EXCEPT the t == pos slot, whose V is the full-precision
+                    # scratch vn_s (cache row pos is zeros; pap_s tracks it).
+                    # The softmax stats (l_s, line above) already consumed
+                    # the unscaled pm — scaling here touches values only.
+                    pm = jnp.where(gt == pos, pm,
+                                   pm * svs2.reshape(tb, bkc, H))
                 p_exp = jnp.dot(pm.reshape(tb * bkc, H).astype(mm_dtype), sel.T,
                                 preferred_element_type=jnp.float32
                                 ).astype(mm_dtype).reshape(tb, bkc, d)
@@ -527,6 +558,8 @@ def decode_stack(
     interpret: bool = False,
     cross_k_scale: jax.Array | None = None,  # [L, B, H, hd] f32 (int8 cross-KV)
     cross_v_scale: jax.Array | None = None,
+    self_k_scale: jax.Array | None = None,  # [L, T, H] f32 (int8 self cache)
+    self_v_scale: jax.Array | None = None,
 ):
     """→ (logits [BK, Vp] f32, x_out [BK, d], k_new [L, BK, D], v_new [L, BK, D]).
 
@@ -568,6 +601,16 @@ def decode_stack(
         # never read by the kernel (same pattern as the LM-head dummies)
         cross_k_scale = jnp.zeros((1, 1, 1, hd), jnp.float32)
         cross_v_scale = jnp.zeros((1, 1, 1, hd), jnp.float32)
+    self_quant = self_k_scale is not None
+    assert self_quant == (self_k.dtype == jnp.int8), \
+        "int8 self cache and per-row scales must travel together"
+    # the deep-K v2 formulation is measured-slower inventory (docs/
+    # decode_budget.md); the int8 dequant folds are only built for the
+    # default legacy gather path
+    assert not (self_quant and plan.gather_v2)
+    if not self_quant:
+        self_k_scale = jnp.zeros((1, 1, H), jnp.float32)
+        self_v_scale = jnp.zeros((1, 1, H), jnp.float32)
     bkc_ = bk // plan.n_self
     if plan.gather_v2:
         # derived ancestry layouts for the deep-K formulation (cheap XLA
@@ -654,6 +697,16 @@ def decode_stack(
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_k
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_v
+        (pl.BlockSpec((1, tb, H),
+                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1),
+                                             self_tc(l, p, pos_ref), 0))
+         if self_quant else
+         pl.BlockSpec((1, 1, H), lambda l, p, pos_ref: (0, 0, 0))),          # sk_scale
+        (pl.BlockSpec((1, tb, H),
+                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1),
+                                             self_tc(l, p, pos_ref), 0))
+         if self_quant else
+         pl.BlockSpec((1, 1, H), lambda l, p, pos_ref: (0, 0, 0))),          # sv_scale
         (pl.BlockSpec((1, 1, 128), lambda l, p, pos_ref: (0, 0, 0))
          if plan.gather_v2 else
          pl.BlockSpec((tb, bkc, bkc), anc_idx)),                             # anc_hot
@@ -692,10 +745,14 @@ def decode_stack(
                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1), self_chunk(l, p, pos_ref), 0)),
         pl.BlockSpec((bk, vb), lambda l, p, pos_ref: (0, lm_j(l, p, pos_ref))),  # logits
     ]
+    # int8 self cache: the kernel still emits FULL-PRECISION new rows (the
+    # in-step mask-merge reads them from scratch at full precision anyway);
+    # the caller quantizes at the cache-row write (quantize_self_rows)
+    row_dtype = x0.dtype if self_quant else self_k.dtype
     out_shape = [
         jax.ShapeDtypeStruct((bk, d), x0.dtype),
-        jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
-        jax.ShapeDtypeStruct((L, bk, d), self_k.dtype),
+        jax.ShapeDtypeStruct((L, bk, d), row_dtype),
+        jax.ShapeDtypeStruct((L, bk, d), row_dtype),
         jax.ShapeDtypeStruct((bk, vp), jnp.float32),
     ]
     # pallas interpret mode on CPU lacks bf16xbf16=f32 dot thunks
@@ -703,6 +760,7 @@ def decode_stack(
     kernel = functools.partial(
         _kernel, plan=plan, cfg_heads=H, cfg_hd=hd, beams=beams,
         act_name=cfg.activation_function, mm_dtype=mm_dtype, quant=quant,
+        self_quant=self_quant,
         no_gather=os.environ.get("VACNIC_KERNEL_NOGATHER") == "1",
         no_cross_sm=os.environ.get("VACNIC_KERNEL_NOCROSSSM") == "1",
         no_self_sm=os.environ.get("VACNIC_KERNEL_NOSELFSM") == "1",
@@ -741,7 +799,8 @@ def decode_stack(
         dp.b_cross_out[:, None, :], dp.ln_cross,
         dp.w_fc1, dp.b_fc1[:, None, :], dp.w_fc2, dp.b_fc2[:, None, :],
         dp.ln_final,
-        self_k, self_v, anc_in, ancT, anc2, cross_k, cross_v,
+        self_k, self_v, self_k_scale, self_v_scale,
+        anc_in, ancT, anc2, cross_k, cross_v,
         cross_k_scale, cross_v_scale, enc_bias, w_lm, b_lm,
     )
     return logits, x_out, k_new, v_new

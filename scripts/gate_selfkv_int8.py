@@ -9,7 +9,7 @@ absent) in three numerics:
   f32      : reference precision (the torch reference decodes fp32)
   bf16     : the accepted accelerator default (control distance)
   int8sim  : bf16 + VACNIC_SELFKV_INT8_SIM=1 — the kernel path's self-cache
-             storage quantization (per-(L, t, H) scales,
+             storage quantization (per-(L, t, row, H) scales,
              decode_fast.quantize_self_rows) applied as quantize->dequantize
              to the XLA path's cache writes. Slightly MORE lossy than the
              real kernel path: the sim's dequant re-rounds to bf16, while

@@ -2,7 +2,7 @@
 mosaic_probe_fp8.py).
 
 The int8 self cache stores the decode kernel's past K/V rows as int8 with
-per-(L, t, H) scales (decode_fast.quantize_self_rows). The open Mosaic
+per-(L, t, row, H) scales (decode_fast.quantize_self_rows). The open Mosaic
 question is the same one fp8 had: windowed [tb, bkc, D] blocks over the
 time-major [T, BK, D] cache with bkc=80 — 8-sublane-aligned but NOT
 32-aligned for the packed (32, 128) 8-bit tiling. fp8 windows passed this

@@ -335,11 +335,13 @@ def test_selfkv_fp8_quality_proxy(setup):
 
 def test_selfkv_int8_exact_on_pow2_scales(setup):
     """int8 self-cache: with past rows on the int8 grid and POWER-OF-TWO
-    per-(L, t, H) scales, the step's logits are BIT-IDENTICAL to a
+    per-(L, t, row, H) scales, the step's logits are BIT-IDENTICAL to a
     full-precision cache holding the dequantized values — multiplying by a
-    power of two is exact and commutes with every f32 rounding in the score
-    (scale × Σ q·k) and value (Σ (p·scale)·v) folds, so any difference
-    would be a plumbing bug (block specs, mask interaction, pap handling)."""
+    power of two is exact, the in-kernel scale gather (one-hot matmul in
+    f32) is an exact selection, and both commute with every f32 rounding in
+    the score (scale × Σ q·k) and value (Σ (p·scale)·v) folds, so any
+    difference would be a plumbing bug (block specs, ancestry alignment,
+    mask interaction, pap handling)."""
     cfg, params, dp, cache, cache_tm, enc_bias = setup
     bk = BATCH * BEAMS
     H = cfg.decoder_attention_heads
@@ -353,12 +355,12 @@ def test_selfkv_int8_exact_on_pow2_scales(setup):
     tmask = (np.arange(T) < 3)[None, :, None, None]
     ints_k *= tmask
     ints_v *= tmask
-    sk = 2.0 ** rng.randint(-3, 3, (L, T, H)).astype(np.float32)
-    sv = 2.0 ** rng.randint(-3, 3, (L, T, H)).astype(np.float32)
+    sk = 2.0 ** rng.randint(-3, 3, (L, T, bk, H)).astype(np.float32)
+    sv = 2.0 ** rng.randint(-3, 3, (L, T, bk, H)).astype(np.float32)
     deq_k = (ints_k.reshape(L, T, bk, H, hd)
-             * sk[:, :, None, :, None]).reshape(ints_k.shape)
+             * sk[:, :, :, :, None]).reshape(ints_k.shape)
     deq_v = (ints_v.reshape(L, T, bk, H, hd)
-             * sv[:, :, None, :, None]).reshape(ints_v.shape)
+             * sv[:, :, :, :, None]).reshape(ints_v.shape)
     base = cache_tm._replace(self_k=jnp.asarray(deq_k),
                              self_v=jnp.asarray(deq_v))
     quant = cache_tm._replace(self_k=jnp.asarray(ints_k).astype(jnp.int8),
@@ -380,6 +382,58 @@ def test_selfkv_int8_exact_on_pow2_scales(setup):
     assert np.all(np.asarray(q_cache.self_k_scale)[:, 3] > 0)
 
 
+def test_selfkv_int8_pow2_exact_after_reorder(setup):
+    """Per-row int8 scales under a NONTRIVIAL ancestry: after a random
+    within-group beam selection (reorder_anc), the kernel must gather each
+    row's scale through the same one-hot as its K/V data — with pow2 scales
+    the logits stay BIT-IDENTICAL to the pre-dequantized cache under the
+    same ancestry. The identity-ancestry pow2 test cannot catch a scale
+    gather that forgets beam alignment; this one does."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    H = cfg.decoder_attention_heads
+    hd = cfg.d_model // H
+    L, T = cache_tm.self_k.shape[0], cache_tm.self_k.shape[1]
+    rng = np.random.RandomState(11)
+    ints_k = rng.randint(-127, 128, cache_tm.self_k.shape).astype(np.float32)
+    ints_v = rng.randint(-127, 128, cache_tm.self_v.shape).astype(np.float32)
+    tmask = (np.arange(T) < 3)[None, :, None, None]
+    ints_k *= tmask
+    ints_v *= tmask
+    sk = 2.0 ** rng.randint(-3, 3, (L, T, bk, H)).astype(np.float32)
+    sv = 2.0 ** rng.randint(-3, 3, (L, T, bk, H)).astype(np.float32)
+    deq_k = (ints_k.reshape(L, T, bk, H, hd)
+             * sk[:, :, :, :, None]).reshape(ints_k.shape)
+    deq_v = (ints_v.reshape(L, T, bk, H, hd)
+             * sv[:, :, :, :, None]).reshape(ints_v.shape)
+    base = cache_tm._replace(self_k=jnp.asarray(deq_k),
+                             self_v=jnp.asarray(deq_v),
+                             pos=jnp.int32(2))
+    quant = cache_tm._replace(self_k=jnp.asarray(ints_k).astype(jnp.int8),
+                              self_v=jnp.asarray(ints_v).astype(jnp.int8),
+                              self_k_scale=jnp.asarray(sk),
+                              self_v_scale=jnp.asarray(sv),
+                              pos=jnp.int32(2))
+    # two rounds of random within-group selection compose a non-identity
+    # ancestry over rows 0..2; both caches get the SAME ancestry
+    for seed in (0, 1):
+        r2 = np.random.RandomState(seed)
+        sel = np.arange(bk).reshape(BATCH, BEAMS)
+        sel = np.stack([g[r2.randint(0, BEAMS, BEAMS)] for g in sel]).reshape(-1)
+        flat_sel = jnp.asarray(sel, jnp.int32)
+        base = DF.reorder_anc(base, flat_sel)
+        quant = DF.reorder_anc(quant, flat_sel)
+    assert not np.array_equal(np.asarray(quant.anc[:3]),
+                              np.asarray(cache_tm.anc[:3]))
+    tok = jnp.full((bk, 1), 7, jnp.int32)
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
+        interpret=True))
+    base_logits, _ = pal(base, tok, jnp.int32(3))
+    q_logits, _ = pal(quant, tok, jnp.int32(3))
+    np.testing.assert_array_equal(np.asarray(q_logits), np.asarray(base_logits))
+
+
 def test_selfkv_int8_quality_proxy(setup):
     """Real int8 self cache through the REAL write path (decode_step_pallas
     quantizes the kernel's new rows via quantize_self_rows): greedy tokens
@@ -398,6 +452,7 @@ def test_selfkv_int8_quality_proxy(setup):
     assert quant.self_k.dtype == jnp.int8
     assert quant.self_k_scale.shape == (cfg.decoder_layers,
                                         quant.self_k.shape[1],
+                                        bk,
                                         cfg.decoder_attention_heads)
     pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
         dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=PLAN,
@@ -419,17 +474,17 @@ def test_selfkv_int8_quality_proxy(setup):
 
 
 def test_quantize_self_rows_roundtrip():
-    """Per-(L, H) symmetric quantization: scale shapes, the ≤ scale/2
+    """Per-(L, row, H) symmetric quantization: scale shapes, the ≤ scale/2
     round-trip bound, and the zero-rows guard (scale floor, no NaN)."""
     rng = np.random.RandomState(7)
     rows = jnp.asarray(rng.randn(3, 8, 32).astype(np.float32))
     q, s = DF.quantize_self_rows(rows, n_heads=4)
     assert q.shape == rows.shape and q.dtype == jnp.int8
-    assert s.shape == (3, 4)
+    assert s.shape == (3, 8, 4)
     deq = (np.asarray(q, np.float32).reshape(3, 8, 4, 8)
-           * np.asarray(s)[:, None, :, None]).reshape(3, 8, 32)
+           * np.asarray(s)[:, :, :, None]).reshape(3, 8, 32)
     err = np.abs(deq - np.asarray(rows))
-    bound = np.asarray(s)[:, None, :, None] * 0.5 + 1e-7
+    bound = np.asarray(s)[:, :, :, None] * 0.5 + 1e-7
     assert np.all(err.reshape(3, 8, 4, 8) <= bound)
     qz, sz = DF.quantize_self_rows(jnp.zeros((2, 4, 16)), n_heads=2)
     assert np.all(np.asarray(sz) == 1e-12) and not np.any(np.asarray(qz))

@@ -89,15 +89,18 @@ class DecodeCache(NamedTuple):
     # (V side) — zero extra matmul cost (kernels/decode_layer._cross_attn).
     cross_k_scale: jax.Array | None = None  # [L, B, H, hd] f32
     cross_v_scale: jax.Array | None = None  # [L, B, H, hd] f32
-    # int8 SELF cache (kernel path): per-(L, t, H) symmetric scales, one per
-    # written time row. All B·K rows written at step t share a scale, which
-    # makes the scales ANCESTRY-INVARIANT: beam reorders recompose only the
-    # ancestry matrix, never the scales — a gathered row at time t always
-    # dequantizes with scale[l, t, h] regardless of which beam wrote it.
+    # int8 SELF cache (kernel path): per-(L, t, ROW, H) symmetric scales,
+    # one per written cache row. A cache row is a write-once physical slot,
+    # so per-row scales are still ANCESTRY-INVARIANT: beam reorders
+    # recompose only the ancestry matrix, never the scales — the kernel
+    # beam-aligns the scales with the SAME chunk-local one-hot matmul it
+    # uses for the K/V rows (an exact selection in f32). Per-row replaced
+    # the original per-(L, t, H) group scale after that granularity failed
+    # the trained quality gate (0.9115 < control 0.9583, queue20).
     # K scale multiplies the score block, V scale folds into the softmax
-    # probabilities before the value sum (kernels/decode_layer._self_attn).
-    self_k_scale: jax.Array | None = None  # [L, T, H] f32
-    self_v_scale: jax.Array | None = None  # [L, T, H] f32
+    # probabilities before the value sum (kernels/decode_layer._kernel).
+    self_k_scale: jax.Array | None = None  # [L, T, BK, H] f32
+    self_v_scale: jax.Array | None = None  # [L, T, BK, H] f32
 
 
 def pallas_plan_exists(b: int, beams: int) -> bool:
@@ -244,7 +247,7 @@ def build_decode_cache(
     kernel clamps to ±448 on store since the e4m3 cast overflows to NaN —
     MEASURED NEGATIVE on v5e, the fp8→bf16 convert is emulated; kept for
     fp8-native generations). `self_kv_int8=True` stores the self cache as
-    int8 with per-(L, t, H) scales quantized at the row write
+    int8 with per-(L, t, row, H) scales quantized at the row write
     (quantize_self_rows) — int8 converts NATIVELY on v5e (the r4 dtype
     ladder measured int8 fetches at ~840 GB/s), so this halves the
     self-cache fetch term without fp8's conversion tax."""
@@ -316,8 +319,8 @@ def build_decode_cache(
     # (with its scale) before any step reads it, and rows >= pos are masked
     sk_scale = sv_scale = None
     if self_kv_int8:
-        sk_scale = jnp.zeros((n_layers, max_len, h), jnp.float32)
-        sv_scale = jnp.zeros((n_layers, max_len, h), jnp.float32)
+        sk_scale = jnp.zeros((n_layers, max_len, bkt, h), jnp.float32)
+        sv_scale = jnp.zeros((n_layers, max_len, bkt, h), jnp.float32)
     return DecodeCache(
         self_k=jnp.zeros(shape, self_dtype),
         self_v=jnp.zeros(shape, self_dtype),
@@ -349,19 +352,24 @@ def quantize_cross_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def quantize_self_rows(rows: jax.Array, n_heads: int
                        ) -> tuple[jax.Array, jax.Array]:
-    """[L, BK, D] new self K (or V) rows → (int8 [L, BK, D], f32 [L, H]).
+    """[L, BK, D] new self K (or V) rows → (int8 [L, BK, D], f32 [L, BK, H]).
 
-    Symmetric per-(layer, head) quantization over the (B·K rows, hd channels)
-    group — the granularity that keeps scales ancestry-invariant (every row
-    written this step shares its layer/head scale; DecodeCache.self_k_scale).
-    Runs in XLA at the cache-row write (~16 MB/step at b256 — noise), so the
-    kernel's output rows stay full precision for the in-step mask-merge."""
+    Symmetric per-(layer, ROW, head) quantization over the hd channels.
+    Scales are still ancestry-invariant — a cache row is a write-once
+    physical slot, and its scale travels with it (the kernel gathers scales
+    through the same chunk-local one-hot as the K/V rows). Per-row scales
+    replaced the original per-(layer, head) group scale (shared across all
+    B·K rows AND hd channels) after that granularity failed the trained
+    quality gate (token agreement 0.9115 < control 0.9583 — CLAUDE.md
+    queue20). Runs in XLA at the cache-row write (~16 MB/step at b256 —
+    noise), so the kernel's output rows stay full precision for the in-step
+    mask-merge."""
     lr, bk, d = rows.shape
     hd = d // n_heads
     xf = rows.astype(jnp.float32).reshape(lr, bk, n_heads, hd)
-    scale = jnp.max(jnp.abs(xf), axis=(1, 3)) / 127.0  # [L, H]
+    scale = jnp.max(jnp.abs(xf), axis=3) / 127.0  # [L, BK, H]
     scale = jnp.maximum(scale, 1e-12)
-    q = jnp.clip(jnp.round(xf / scale[:, None, :, None]), -127, 127)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
     return q.astype(jnp.int8).reshape(lr, bk, d), scale
 
 
@@ -420,16 +428,16 @@ def decode_step(
             k_new, v_new = _rt(k_new), _rt(v_new)
         if os.environ.get("VACNIC_SELFKV_INT8_SIM") == "1":
             # quality-gate instrument (gate_selfkv_int8_cpu.py): apply the
-            # int8 kernel path's storage quantization (per-(H) scale over the
-            # (rows, hd) group, quantize_self_rows) as quantize->dequantize
+            # int8 kernel path's storage quantization (per-(row, head) scale
+            # over hd, quantize_self_rows) as quantize->dequantize
             # on the rows the XLA path writes — the CPU-runnable gate then
             # carries the same (slightly MORE, the dequant re-rounds to
             # `dtype`) error as the int8 cache. Write-once semantics match:
             # both paths quantize at the write and read the stored row.
             def _rt8(v):
-                q, s = quantize_self_rows(v[None], h_heads)
+                q, s = quantize_self_rows(v[None], h_heads)  # s: [1, BK, H]
                 deq = (q[0].astype(jnp.float32).reshape(bk_total, h_heads, hd)
-                       * s[0][None, :, None])
+                       * s[0][:, :, None])
                 return deq.reshape(bk_total, d).astype(dtype)
             k_new, v_new = _rt8(k_new), _rt8(v_new)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[:, None, :], (0, pos, 0))
@@ -675,16 +683,17 @@ def _stack_body(dp, params, cache, x, pos, enc_mask_bias, cfg, plan, interpret):
     )
     if cache.self_k.dtype == jnp.int8:
         # int8 self cache: quantize the kernel's full-precision new rows at
-        # the write (per-(L, H) scales over this step's rows — ancestry-
-        # invariant, see quantize_self_rows) and record the step's scales
+        # the write (per-(L, row, H) scales — ancestry-invariant because a
+        # cache row is write-once, see quantize_self_rows) and record the
+        # step's scale rows at pos
         h = cfg.decoder_attention_heads
         k_new, ks = quantize_self_rows(k_new, h)
         v_new, vs = quantize_self_rows(v_new, h)
         cache = cache._replace(
             self_k_scale=jax.lax.dynamic_update_slice(
-                cache.self_k_scale, ks[:, None, :], (0, pos, 0)),
+                cache.self_k_scale, ks[:, None, :, :], (0, pos, 0, 0)),
             self_v_scale=jax.lax.dynamic_update_slice(
-                cache.self_v_scale, vs[:, None, :], (0, pos, 0)))
+                cache.self_v_scale, vs[:, None, :, :], (0, pos, 0, 0)))
     new_k = jax.lax.dynamic_update_slice(cache.self_k, k_new[:, None, :, :],
                                          (0, pos, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.self_v, v_new[:, None, :, :],

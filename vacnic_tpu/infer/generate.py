@@ -119,8 +119,8 @@ def _decode_from_encoder(
                 and os.environ.get("VACNIC_SELFKV_FP8") == "1"
                 and (bsz * kp) % (plan.n_self * fp8_sub) == 0)
     # int8 SELF cache (kernel path, opt-in VACNIC_SELFKV_INT8=1): halves the
-    # self-cache fetch term (~2 GB/step at b256) with per-(L, t, H) scales
-    # quantized at the row write. Unlike fp8, int8 converts NATIVELY on v5e
+    # self-cache fetch term (~2 GB/step at b256) with per-(L, t, row, H)
+    # scales quantized at the row write. Unlike fp8, int8 converts NATIVELY on v5e
     # (r4 dtype ladder: int8 fetches ~840 GB/s); the v2 gather formulation
     # is excluded (decode_stack asserts — measured-slower inventory).
     int8_sub = 8 if os.environ.get("VACNIC_INT8_SUB8") == "1" else 32

@@ -112,8 +112,10 @@ def _kernel(
     ln_f_ref,      # [1, 2, d] f32
     self_k_ref,    # [1, TB, BKC, D] bf16 (time-major, unreordered; or int8)
     self_v_ref,    # [1, TB, BKC, D] bf16
-    sk_scale_ref,  # [1, TB, H] f32 — int8 self-cache per-(t, head) dequant
-    sv_scale_ref,  # [1, TB, H] f32   scales (dummies unless self_quant)
+    sk_scale_ref,  # [1, TB, BKC, H] f32 — int8 self-cache per-(t, row, head)
+    sv_scale_ref,  # [1, TB, BKC, H] f32   dequant scales (dummies unless
+                   #                       self_quant; beam-aligned in-kernel
+                   #                       via the ancestry one-hot)
     anc_ref,       # [TB, BKC, BKC] — ancestry one-hot (legacy gather; dummy if v2)
     ancT_ref,      # [1, TB, BKC(r), BKC(c)] — transposed one-hot (v2; dummy else)
     anc2_ref,      # [1, TB·BKC(t·r), BKC(c)] — row-major (t,r) one-hot (v2)
@@ -342,25 +344,24 @@ def _kernel(
                 prod = qm[None, :, :] * kg  # [TB, C, D]
                 scores2 = jnp.dot(prod.reshape(tb * bkc, d), sel,
                                   preferred_element_type=jnp.float32)
-                if self_quant:
-                    # int8 self K: rows written at step t share scale[t, h]
-                    # (ancestry-invariant — quantize_self_rows), so dequant
-                    # is a per-(t, h) multiply on the score block. Expand the
-                    # [TB, H] scale block to one row per (t, c) with a
-                    # constant one-hot matmul (2D — Mosaic rejects 3D
-                    # middle-dim broadcasts, the encoder enc_bias lesson) and
-                    # multiply BEFORE the [TB, C, H] reshape.
-                    rr8 = jax.lax.broadcasted_iota(
-                        jnp.int32, (tb * bkc, tb), 0)
-                    tt8 = jax.lax.broadcasted_iota(
-                        jnp.int32, (tb * bkc, tb), 1)
-                    exp8 = (rr8 // bkc == tt8).astype(jnp.float32)
-                    sks2 = jnp.dot(exp8, sk_scale_ref[0].astype(jnp.float32),
-                                   preferred_element_type=jnp.float32)
-                    svs2 = jnp.dot(exp8, sv_scale_ref[0].astype(jnp.float32),
-                                   preferred_element_type=jnp.float32)
-                    scores2 = scores2 * sks2
                 scores = scores2.reshape(tb, bkc, H)
+                if self_quant:
+                    # int8 self K: scales are per (t, physical row, head) —
+                    # ancestry-invariant because a cache row is write-once
+                    # (quantize_self_rows). Beam-align the [TB, C', H] scale
+                    # block with the SAME chunk-local one-hot as the K/V
+                    # gather; a one-hot matmul is an exact selection, and in
+                    # f32 the product/accumulate is exact, so the dequant
+                    # multiply commutes bit-for-bit with a pre-dequantized
+                    # cache (pinned by test_selfkv_int8_exact_on_pow2_scales).
+                    ancf = anc_ref[...].astype(jnp.float32)  # [TB, C, C']
+                    gsc = lambda ref: jax.lax.dot_general(
+                        ancf, ref[0].astype(jnp.float32),
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # [TB, C, H]
+                    skg = gsc(sk_scale_ref)
+                    svs3 = gsc(sv_scale_ref)
+                    scores = scores * skg
             scores = jnp.where(gt == pos, snew_s[...][None, :, :],
                                jnp.where(gt < pos, scores, -jnp.inf))
             # online softmax (exact): rescale running stats to the new max
@@ -407,13 +408,13 @@ def _kernel(
             else:
                 if self_quant:
                     # int8 self V: value contraction is over (t, row), so the
-                    # per-(t, h) scale folds into the softmax probabilities —
-                    # EXCEPT the t == pos slot, whose V is the full-precision
-                    # scratch vn_s (cache row pos is zeros; pap_s tracks it).
-                    # The softmax stats (l_s, line above) already consumed
-                    # the unscaled pm — scaling here touches values only.
-                    pm = jnp.where(gt == pos, pm,
-                                   pm * svs2.reshape(tb, bkc, H))
+                    # beam-aligned per-(t, row, h) scale folds into the
+                    # softmax probabilities — EXCEPT the t == pos slot, whose
+                    # V is the full-precision scratch vn_s (cache row pos is
+                    # zeros; pap_s tracks it). The softmax stats (l_s, line
+                    # above) already consumed the unscaled pm — scaling here
+                    # touches values only.
+                    pm = jnp.where(gt == pos, pm, pm * svs3)
                 p_exp = jnp.dot(pm.reshape(tb * bkc, H).astype(mm_dtype), sel.T,
                                 preferred_element_type=jnp.float32
                                 ).astype(mm_dtype).reshape(tb, bkc, d)
@@ -558,7 +559,7 @@ def decode_stack(
     interpret: bool = False,
     cross_k_scale: jax.Array | None = None,  # [L, B, H, hd] f32 (int8 cross-KV)
     cross_v_scale: jax.Array | None = None,
-    self_k_scale: jax.Array | None = None,  # [L, T, H] f32 (int8 self cache)
+    self_k_scale: jax.Array | None = None,  # [L, T, BK, H] f32 (int8 self cache)
     self_v_scale: jax.Array | None = None,
 ):
     """→ (logits [BK, Vp] f32, x_out [BK, d], k_new [L, BK, D], v_new [L, BK, D]).
@@ -604,13 +605,16 @@ def decode_stack(
     self_quant = self_k_scale is not None
     assert self_quant == (self_k.dtype == jnp.int8), \
         "int8 self cache and per-row scales must travel together"
+    if self_quant:
+        assert self_k_scale.shape == (L, T, bk, H), \
+            f"per-row self scales must be [L, T, BK, H], got {self_k_scale.shape}"
     # the deep-K v2 formulation is measured-slower inventory (docs/
     # decode_budget.md); the int8 dequant folds are only built for the
     # default legacy gather path
     assert not (self_quant and plan.gather_v2)
     if not self_quant:
-        self_k_scale = jnp.zeros((1, 1, H), jnp.float32)
-        self_v_scale = jnp.zeros((1, 1, H), jnp.float32)
+        self_k_scale = jnp.zeros((1, 1, 1, H), jnp.float32)
+        self_v_scale = jnp.zeros((1, 1, 1, H), jnp.float32)
     bkc_ = bk // plan.n_self
     if plan.gather_v2:
         # derived ancestry layouts for the deep-K formulation (cheap XLA
@@ -697,16 +701,12 @@ def decode_stack(
         pl.BlockSpec((1, 2, d), c(0, 0)),                                    # ln_f
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_k
         pl.BlockSpec((1, tb, bkc, d), self_cache_idx),                       # self_v
-        (pl.BlockSpec((1, tb, H),
-                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1),
-                                             self_tc(l, p, pos_ref), 0))
+        (pl.BlockSpec((1, tb, bkc, H), self_cache_idx)
          if self_quant else
-         pl.BlockSpec((1, 1, H), lambda l, p, pos_ref: (0, 0, 0))),          # sk_scale
-        (pl.BlockSpec((1, tb, H),
-                      lambda l, p, pos_ref: (jnp.minimum(l, L - 1),
-                                             self_tc(l, p, pos_ref), 0))
+         pl.BlockSpec((1, 1, 1, H), lambda l, p, pos_ref: (0, 0, 0, 0))),    # sk_scale
+        (pl.BlockSpec((1, tb, bkc, H), self_cache_idx)
          if self_quant else
-         pl.BlockSpec((1, 1, H), lambda l, p, pos_ref: (0, 0, 0))),          # sv_scale
+         pl.BlockSpec((1, 1, 1, H), lambda l, p, pos_ref: (0, 0, 0, 0))),    # sv_scale
         (pl.BlockSpec((1, 1, 128), lambda l, p, pos_ref: (0, 0, 0))
          if plan.gather_v2 else
          pl.BlockSpec((tb, bkc, bkc), anc_idx)),                             # anc_hot

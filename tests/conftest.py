@@ -61,7 +61,9 @@ def pytest_collection_modifyitems(config, items):
     # must exist (renames/removals surface immediately instead of silently
     # shrinking the tier). Sub-path runs collect fewer files — skip there.
     files = {item.nodeid.split("::")[0] for item in items}
-    if len(files) >= 25:
+    filtered = bool(config.getoption("ignore") or config.getoption("keyword")
+                    or config.getoption("markexpr"))
+    if len(files) >= 25 and not filtered:
         missing = FAST_TESTS - matched
         assert not missing, f"FAST_TESTS entries not collected: {sorted(missing)}"
 

@@ -12,6 +12,14 @@ process — remote compiles are erratic):
   b64       — full at batch 64: fixed-overhead amortization check
   fused     — mm_encoder_fwd_fused (Pallas text stack, kernels/encoder_stack)
   fusedparity — one-off on-chip numeric check of fused vs XLA
+  glue      — the fused path's XLA prologue ONLY (embed + sequential stream
+              evolution + batched ner_map/cross-KV projections), no text
+              kernel: sizes the non-kernel share at any batch. Outputs
+              depend on cross_k/cross_v/x so XLA cannot DCE the prologue.
+
+ENC_BATCH overrides the batch size (default 32; b64 mode keeps 64). The
+single-call timing includes the ~28 ms tunnel round trip (CLAUDE.md) — read
+DELTAS between modes at the same batch, not absolute numbers.
 """
 
 from __future__ import annotations
@@ -40,7 +48,7 @@ def main():
     cfg = VacnicConfig.full_train()
     if mode == "onlyimg":
         cfg = dataclasses.replace(cfg, fusion=dataclasses.replace(cfg.fusion, only_image=True))
-    batch_size = 64 if mode == "b64" else 32
+    batch_size = 64 if mode == "b64" else int(os.environ.get("ENC_BATCH", 32))
     key = jax.random.PRNGKey(0)
     params = F.multimodal_bart_init(key, cfg.bart, cfg.fusion)
     batch = synthetic_batch(cfg, batch_size=batch_size, seed=0)
@@ -72,7 +80,21 @@ def main():
               f"mean|d|={float(np.asarray(mn)):.6f}")
         return
 
-    if mode == "text":
+    if mode == "glue":
+        @jax.jit
+        def enc(params, batch):
+            src = batch["article_ids"]
+            x, sp, ck, cv, sb, cb, _ = F._fused_encoder_prologue(
+                params, src, create_mask(src), batch["image_cls"],
+                cfg.bart, cfg.fusion, dtype=jnp.bfloat16, **mm_kwargs(batch))
+            # depend on every prologue product so nothing is DCE'd; keep the
+            # returned payload tiny (tunnel moves ~25 MB/s)
+            return (x[0, 0, :8].astype(jnp.float32)
+                    + ck[0, 0, :8, 0].astype(jnp.float32)
+                    + cv[0, 0, 0, :8].astype(jnp.float32)
+                    + sb[0, :8] + cb[0, :8]
+                    + sp.w_qkv[0, :8, 0].astype(jnp.float32))
+    elif mode == "text":
         @jax.jit
         def enc(params, batch):
             src = batch["article_ids"]

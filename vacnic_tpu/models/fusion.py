@@ -422,7 +422,7 @@ def fused_encoder_eligible(fcfg: FusionConfig, cfg: BartConfig,
     )
 
 
-def mm_encoder_fwd_fused(
+def _fused_encoder_prologue(
     params: Params,
     input_ids: jax.Array,
     attention_mask: jax.Array,
@@ -437,20 +437,13 @@ def mm_encoder_fwd_fused(
     add_ner_ffn: bool = True,
     dtype=jnp.float32,
     interpret: bool = False,
-    max_kernel_batch: int = 32,
-) -> dict[str, jax.Array]:
-    """mm_encoder_fwd with the TEXT path fused into one Pallas kernel
-    (kernels/encoder_stack). The fusion streams evolve independently of the
-    text states, so they (and each layer's projected cross K/V over
-    concat(img, ner_prefix)) are precomputed here in XLA, then the kernel
-    runs all layers' self-attn + cross-attn + FFN with the activations
-    VMEM-resident. Inference-only (no dropout); numerics match
-    mm_encoder_fwd to bf16 tolerance (tests/test_encoder_stack.py)."""
-    from vacnic_tpu.kernels.encoder_stack import (
-        EncPlan,
-        EncStackParams,
-        encoder_text_stack,
-    )
+):
+    """The fused encoder's XLA prologue: token embed, sequential stream
+    evolution, batched ner_map + cross-K/V projections, stacked text-path
+    weights, pad biases. Split out so scripts/bench_encoder_parts.py
+    ENC_MODE=glue can time the non-kernel share in isolation. Returns
+    (x, sp, cross_k, cross_v, self_bias, cross_bias, streams_dict)."""
+    from vacnic_tpu.kernels.encoder_stack import EncStackParams
 
     assert fused_encoder_eligible(fcfg, cfg, add_ner_ffn, None)
     rngs = RngStream(None)
@@ -576,6 +569,43 @@ def mm_encoder_fwd_fused(
     neg = jnp.finfo(jnp.float32).min
     self_bias = (1.0 - attention_mask.astype(jnp.float32)) * neg  # [B, S]
     cross_bias = jnp.zeros((input_ids.shape[0], cross_v.shape[2]), jnp.float32)
+    streams_out = {"img": img, "ner": ner, "face": face}
+    return x, sp, cross_k, cross_v, self_bias, cross_bias, streams_out
+
+
+def mm_encoder_fwd_fused(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    image_features: jax.Array,
+    cfg: BartConfig,
+    fcfg: FusionConfig,
+    *,
+    face_features: jax.Array | None = None,
+    face_mask: jax.Array | None = None,
+    name_ids: jax.Array | None = None,
+    name_mask: jax.Array | None = None,
+    add_ner_ffn: bool = True,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    max_kernel_batch: int = 32,
+) -> dict[str, jax.Array]:
+    """mm_encoder_fwd with the TEXT path fused into one Pallas kernel
+    (kernels/encoder_stack). The fusion streams evolve independently of the
+    text states, so they (and each layer's projected cross K/V over
+    concat(img, ner_prefix)) are precomputed in XLA
+    (_fused_encoder_prologue), then the kernel runs all layers' self-attn +
+    cross-attn + FFN with the activations VMEM-resident. Inference-only (no
+    dropout); numerics match mm_encoder_fwd to bf16 tolerance
+    (tests/test_encoder_stack.py)."""
+    from vacnic_tpu.kernels.encoder_stack import encoder_text_stack
+
+    x, sp, cross_k, cross_v, self_bias, cross_bias, streams_out = \
+        _fused_encoder_prologue(
+            params, input_ids, attention_mask, image_features, cfg, fcfg,
+            face_features=face_features, face_mask=face_mask,
+            name_ids=name_ids, name_mask=name_mask, add_ner_ffn=add_ner_ffn,
+            dtype=dtype, interpret=interpret)
 
     # the kernel keeps the whole [Bk, S, d] activation VMEM-resident, which
     # caps the per-call batch (~32 at bart-large: 33.5 MB scratch; batch 128
@@ -596,7 +626,7 @@ def mm_encoder_fwd_fused(
                 sp, x[sl], cross_k[:, sl], cross_v[:, sl], self_bias[sl],
                 cross_bias[sl], cfg, plan=plan, interpret=interpret))
         last = jnp.concatenate(outs, axis=0)
-    return {"last_hidden": last, "img": img, "ner": ner, "face": face}
+    return {"last_hidden": last, **streams_out}
 
 
 # ---------------------------------------------------------------------------

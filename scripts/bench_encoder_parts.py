@@ -108,7 +108,11 @@ def main():
             out = F.mm_encoder_fwd_fused(params, src, create_mask(src),
                                          batch["image_cls"], cfg.bart, cfg.fusion,
                                          dtype=jnp.bfloat16, **mm_kwargs(batch))
-            return out["last_hidden"][0, 0, :8]
+            # depend on EVERY 32-item kernel slice: returning only row 0
+            # lets XLA dead-code-eliminate slices 2..N — queue22 measured
+            # "b256 fused = 144.9 ms" that was really glue + ONE slice
+            # (the stub-harness DCE trap, decode_budget.md)
+            return out["last_hidden"][::32, 0, :8]
     else:
         @jax.jit
         def enc(params, batch):

@@ -61,6 +61,10 @@ N_STEPS = int(os.environ.get("GATE_STEPS", 400))
 BATCH = int(os.environ.get("GATE_BATCH", 16))
 N_FIXED = 4  # distinct batches cycled (overfit target)
 DECODE_BATCH = 32
+# Replicate seed (r4b): varies the init key AND the synthetic data stream so
+# independent gate replicates exist (GATE_SEED=1,2 strengthen the single-
+# point PASS backing the default-on posture). Seed 0 = the original gate.
+GATE_SEED = int(os.environ.get("GATE_SEED", 0))
 
 
 def gate_config() -> VacnicConfig:
@@ -90,14 +94,14 @@ def train_phase() -> None:
     from vacnic_tpu.train.train_step import make_train_step
 
     cfg = gate_config()
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(GATE_SEED)
     params = {"model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion)}
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     init_fn, step_fn = make_train_step(cfg, num_training_steps=N_STEPS)
     state = init_fn(params, teacher, jax.random.fold_in(key, 2))
     step_fn = jax.jit(step_fn, donate_argnums=0)
 
-    batches = [synthetic_batch(cfg, batch_size=BATCH, seed=s)
+    batches = [synthetic_batch(cfg, batch_size=BATCH, seed=GATE_SEED * 100 + s)
                for s in range(N_FIXED)]
     first_loss = None
     for i in range(N_STEPS):
@@ -131,7 +135,9 @@ def decode_phase() -> None:
         treedef, [jnp.asarray(z[f"arr_{i}"]) for i in range(n)])
     first_loss, last_loss = float(z["first_loss"]), float(z["last_loss"])
 
-    dbatch = synthetic_batch(cfg, batch_size=DECODE_BATCH, seed=0)
+    # decode the overfit data stream (first train batch's seed): that is
+    # where the trained model's logits are peaked — the point of the gate
+    dbatch = synthetic_batch(cfg, batch_size=DECODE_BATCH, seed=GATE_SEED * 100)
 
     def decode(dtype, int8_sim: bool):
         from vacnic_tpu.infer.generate import generate_mm

@@ -135,8 +135,13 @@ def decode_phase() -> None:
         treedef, [jnp.asarray(z[f"arr_{i}"]) for i in range(n)])
     first_loss, last_loss = float(z["first_loss"]), float(z["last_loss"])
 
-    # decode the overfit data stream (first train batch's seed): that is
-    # where the trained model's logits are peaked — the point of the gate
+    # decode data drawn from the first train batch's seed. NOTE: the batch
+    # size differs (32 vs the trained 16) and synthetic_batch draws from one
+    # RandomState stream, so only the early token bodies coincide with
+    # trained data — the decode set is related-but-not-identical. That is
+    # fine for the gate: what it needs is PEAKED logits from a trained
+    # model (the saturation fix), and the printed first-step top1-top2
+    # margin verifies peakedness directly on the decode inputs.
     dbatch = synthetic_batch(cfg, batch_size=DECODE_BATCH, seed=GATE_SEED * 100)
 
     def decode(dtype, int8_sim: bool):

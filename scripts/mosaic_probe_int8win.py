@@ -61,9 +61,12 @@ def probe_window(bkc: int):
 
 
 def probe_gather80():
-    """The decode kernel's real int8 consumption: convert the int8 window to
-    bf16 (raw ints), one-hot gather matmul, q-product + head-select matmul,
-    then the [TB·C, H]-expanded f32 scale multiply."""
+    """The decode kernel's real int8 consumption (per-ROW scales, r4b):
+    convert the int8 window to bf16 (raw ints), one-hot gather matmul,
+    q-product + head-select matmul, then the [TB, C', H] per-row scale
+    block beam-aligned through the SAME ancestry one-hot in f32 — mirrors
+    decode_layer.py's gsc gather exactly (the pre-r4b variant probed the
+    superseded [tb, H] exp8 time-expansion instead)."""
     tb, bkc, D, H = 16, 80, 1024, 16
     hd = D // H
 
@@ -79,12 +82,12 @@ def probe_gather80():
         sel = (dd // hd == hh).astype(jnp.bfloat16)
         scores2 = jnp.dot(prod.reshape(tb * bkc, D), sel,
                           preferred_element_type=jnp.float32)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (tb * bkc, tb), 0)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (tb * bkc, tb), 1)
-        exp8 = (rr // bkc == tt).astype(jnp.float32)
-        sks2 = jnp.dot(exp8, s_ref[...].astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        o_ref[...] = scores2 * sks2
+        skg = jax.lax.dot_general(
+            anc_ref[...].astype(jnp.float32),
+            s_ref[...].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [TB, C, H]
+        o_ref[...] = (scores2.reshape(tb, bkc, H) * skg).reshape(tb * bkc, H)
 
     key = jax.random.PRNGKey(7)
     k8 = jnp.clip(jnp.round(jax.random.normal(key, (tb, bkc, D)) * 40),
@@ -92,7 +95,8 @@ def probe_gather80():
     perm = jax.random.randint(jax.random.fold_in(key, 1), (tb, bkc), 0, bkc)
     anc = jax.nn.one_hot(perm, bkc, dtype=jnp.float32)
     q = jax.random.normal(jax.random.fold_in(key, 2), (bkc, D), jnp.bfloat16)
-    s = jnp.abs(jax.random.normal(jax.random.fold_in(key, 3), (tb, H))) * 0.02
+    s = jnp.abs(jax.random.normal(jax.random.fold_in(key, 3),
+                                  (tb, bkc, H))) * 0.02
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((tb * bkc, H), jnp.float32),
@@ -101,7 +105,8 @@ def probe_gather80():
     kg = np.take_along_axis(kf, np.asarray(perm)[:, :, None], axis=1)
     prod = (np.asarray(q, np.float32)[None].astype(np.float32)
             * kg).reshape(tb, bkc, H, hd)
-    ref = prod.sum(-1) * np.asarray(s)[:, None, :]
+    sg = np.take_along_axis(np.asarray(s), np.asarray(perm)[:, :, None], axis=1)
+    ref = prod.sum(-1) * sg
     err = float(np.max(np.abs(np.asarray(out).reshape(tb, bkc, H) - ref)
                        / (np.abs(ref) + 1.0)))
     print(f"gather80 OK max rel err={err:.4g} (bf16 product rounding)",

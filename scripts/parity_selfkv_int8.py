@@ -11,7 +11,8 @@ PARITY.md); the QUALITY verdict comes from scripts/gate_selfkv_int8.py on
 the trained gate model. This script asserts only structural health:
 finite logits, finite bounded dlogit, and the int8 rows actually written.
 
-Run:  python scripts/parity_selfkv_int8.py          (b32 x beam5 shapes)
+Run:  python scripts/parity_selfkv_int8.py          (b64 x beam5 shapes,
+      bkc=80 — the mosaic_probe_int8win-validated int8 window)
 """
 
 from __future__ import annotations

@@ -61,9 +61,10 @@ def pytest_collection_modifyitems(config, items):
     # must exist (renames/removals surface immediately instead of silently
     # shrinking the tier). Sub-path runs collect fewer files — skip there.
     files = {item.nodeid.split("::")[0] for item in items}
-    filtered = bool(config.getoption("ignore") or config.getoption("keyword")
-                    or config.getoption("markexpr"))
-    if len(files) >= 25 and not filtered:
+    # only --ignore shrinks COLLECTION (this hook runs before -k/-m
+    # deselection), so -k/-m runs must keep the guard: `pytest -m fast` is
+    # exactly where a renamed FAST_TESTS entry must fail loudly
+    if len(files) >= 25 and not config.getoption("ignore"):
         missing = FAST_TESTS - matched
         assert not missing, f"FAST_TESTS entries not collected: {sorted(missing)}"
 

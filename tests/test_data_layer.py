@@ -144,6 +144,33 @@ def test_prefetch_loader(tok):
     assert len(b2) == 2
 
 
+def test_prefetch_loader_abandoned_iterator_terminates(tok):
+    """Breaking out of iteration mid-epoch (fit() at max_steps) must not leak
+    a producer thread blocked in q.put on the full prefetch queue."""
+    import threading
+    import time
+
+    ds = _ToyDataset(tok, n=64)
+    loader = PrefetchLoader(
+        ds, batch_size=4,
+        collate_fn=lambda s: collate(s, article_len=16, caption_len=8, ner_len=10,
+                                     ner_len_gt=6, max_faces=4, num_names=4, name_len=5),
+        num_workers=2, prefetch=1, seed=0,
+    )
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(loader)
+    next(it)  # producer now races ahead and blocks on the size-1 queue
+    it.close()  # abandon: generator finally sets the stop event
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"leaked producer threads: {extra}"
+
+
 def test_bpe_tokenizer_if_vocab_available(tmp_path):
     """Exercise the byte-level BPE with a miniature vocab/merges pair."""
     import json

@@ -85,6 +85,40 @@ def test_dataset_full_article(data_root, tok):
     assert "Article 0" in s["article"]
 
 
+def test_dataset_nytimes_key_spellings(data_root, tok):
+    """NYTimes dicts spell the entity keys name_art/name_cap/org_norp_cap/
+    gpe_loc_cap (nytimes...py:636-641); the unified reader must not silently
+    drop those entities (regression: names_art previously read as [] for
+    every NYTimes record)."""
+    root, dd = data_root
+    dd_nyt = {}
+    for h, rec in dd.items():
+        r = dict(rec)
+        r["name_cap"] = r.pop("names")
+        r["org_norp_cap"] = r.pop("org_norp")
+        r["gpe_loc_cap"] = r.pop("gpe_loc")
+        r["name_art"] = r.pop("names_art")
+        dd_nyt[h] = r
+    kw = dict(retrieved_sent=True, max_article_len=32, max_ner_type_len=12,
+              max_ner_type_len_gt=6)
+    ds_g = NewsCaptionDataset(dd, root, tok, dataset="goodnews", **kw)
+    ds_n = NewsCaptionDataset(dd_nyt, root, tok, dataset="nytimes", **kw)
+    for i in range(2):
+        sg, sn = ds_g[i], ds_n[i]
+        assert sn["names"] == sg["names"]
+        assert sn["all_gt_ner"] == sg["all_gt_ner"]
+        np.testing.assert_array_equal(sn["names_art_ids"], sg["names_art_ids"])
+        np.testing.assert_array_equal(
+            sn["org_norp_gpe_loc_art_ids"], sg["org_norp_gpe_loc_art_ids"])
+        np.testing.assert_array_equal(
+            sn["names_ids_flatten"], sg["names_ids_flatten"])
+    # the aliased record must actually contain real (non-<NONAME>) entities
+    assert not np.array_equal(
+        ds_n[0]["names_art_ids"],
+        NewsCaptionDataset({h: {**r, "name_art": []} for h, r in dd_nyt.items()},
+                           root, tok, dataset="nytimes", **kw)[0]["names_art_ids"])
+
+
 def test_dataset_raw_mode(data_root, tok):
     root, dd = data_root
     ds = NewsCaptionDataset(dd, root, None, dataset="goodnews", retrieved_sent=True,

@@ -732,3 +732,39 @@ def test_padded_beam_groups_token_parity(monkeypatch):
     pal_seqs, pal_scores = run()
     np.testing.assert_array_equal(pal_seqs, ref_seqs)
     np.testing.assert_allclose(pal_scores, ref_scores, rtol=2e-3, atol=2e-3)
+
+
+def test_wide_beam_parity(setup):
+    """num_beams > 8 crosses the kernel's 8-aligned beam-pad boundary
+    (kp = ceil8(beams)); regression for the hardcoded kp=8 that silently
+    zeroed cross-attention for beams 8..K-1."""
+    cfg, params, dp, _, _, enc_bias = setup
+    wide_beams = 11  # > 8 and deliberately non-8-aligned
+    key = jax.random.fold_in(jax.random.PRNGKey(0), 9)
+    # amplified encoder output: at random init the step-0 cross-attn
+    # contribution is ~0.005 in logits and a zeroed-cross regression slips
+    # under any sane tolerance; x100 makes losing cross-attention read ~1.8
+    enc_out = jax.random.normal(key, (BATCH, S, cfg.d_model), jnp.float32) * 100.0
+    bias = jnp.where(jnp.arange(S) < S - 8, 0.0, jnp.finfo(jnp.float32).min)
+    enc_bias_w = jnp.broadcast_to(bias[None, None, None, :], (BATCH, 1, 1, S))
+    cache = DF.build_decode_cache(params, enc_out, wide_beams, MAX_LEN, cfg,
+                                  dtype=jnp.float32, pad_to=16)
+    cache_tm = DF.build_decode_cache(params, enc_out, wide_beams, MAX_LEN, cfg,
+                                     dtype=jnp.float32, pad_to=16,
+                                     time_major=True)
+    plan = ChunkPlan(n_self=2, n_cross=2, n_ffn=2)  # bkc=22, whole beam groups
+    ref = jax.jit(lambda c, t, p: DF.decode_step(
+        dp, params, c, t, p, enc_bias_w, cfg, dtype=jnp.float32))
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias_w, cfg, dtype=jnp.float32, plan=plan,
+        interpret=True))
+    bk = BATCH * wide_beams
+    tok = jnp.full((bk, 1), 5, jnp.int32)
+    ref_logits, _ = ref(cache, tok, jnp.int32(0))
+    pal_logits, _ = pal(cache_tm, tok, jnp.int32(0))
+    # beams past the old kp=8 boundary must carry real cross-attention signal,
+    # not the zeroed rows of the regression (which read max|d| ~1.8 here)
+    per_beam = np.asarray(pal_logits).reshape(BATCH, wide_beams, -1)
+    ref_beam = np.asarray(ref_logits).reshape(BATCH, wide_beams, -1)
+    np.testing.assert_allclose(per_beam, ref_beam, atol=5e-2, rtol=5e-2)
+    assert np.abs(per_beam[:, 8:] - ref_beam[:, 8:]).max() < 5e-2

@@ -158,7 +158,8 @@ def test_extract_article(tok):
     assert "img1" in out
     rec = out["img1"]
     assert rec["caption"] == "Alice Smith stands in Paris"
-    assert rec["names"] == ["Alice Smith"]
+    assert rec["name_cap"] == ["Alice Smith"]  # NYTimes key spelling
+    assert isinstance(rec["name_art"], list)  # NYTimes key spelling
     assert rec["face_emb"].shape == (2, 4)  # top-2 of 3 faces
     assert rec["obj_emb"].shape == (1, 8)
     assert "Paris" in rec["ner_cap"]

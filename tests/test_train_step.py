@@ -210,3 +210,55 @@ def test_rbg_prng_train_step():
         assert losses[-1] < losses[0]
     finally:
         jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_clip_contrastive_loss_branch():
+    """The optional CLIP contrastive loss (train...match.py:312-321; released
+    script disables it) must run jitted end-to-end: flat vision tower at
+    params['clip'], text tower at params['clip_text'] — and both CLIP groups
+    stay frozen (the reference never steps the CLIP optimizer, :376-378)."""
+    from vacnic_tpu.models.clip_text import clip_text_init
+    from vacnic_tpu.models.clip_vit import clip_vision_init
+
+    cfg = VacnicConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, no_clip_loss=False))
+    key = set_random_seed(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    text_tower = clip_text_init(
+        k5, vocab_size=64, context_length=16, width=32, layers=2,
+        heads=cfg.clip.text_heads, output_dim=cfg.clip.output_dim)
+    params = {
+        "model": F.multimodal_bart_init(k1, cfg.bart, cfg.fusion),
+        "clip": clip_vision_init(k4, cfg.clip),
+        # the integer "heads" metadata leaf must be stripped before the tree
+        # is differentiated (value_and_grad rejects int inputs) — same as cli
+        "clip_text": {k: v for k, v in text_tower.items() if k != "heads"},
+    }
+    teacher = B.bart_init(k2, cfg.bart)
+    batch = synthetic_batch(cfg, batch_size=4, seed=1, with_pixels=True)
+    rng = np.random.RandomState(3)
+    batch["caption_ids_clip"] = jnp.asarray(
+        rng.randint(1, 63, size=(4, 16)).astype(np.int32))
+
+    init_fn, step_fn = make_train_step(cfg, 100)
+    state = init_fn(params, teacher, k3)
+    step = jax.jit(step_fn)
+    state1, m = step(state, batch)
+    state2, _ = step(state1, batch)
+
+    t = cfg.train
+    assert np.isfinite(float(m["clip_loss"]))
+    expect = (float(m["txt_loss"]) + t.alpha * float(m["margin_loss"])
+              + t.mapping_loss_weight * float(m["face_name_loss"])
+              + float(m["clip_loss"]))
+    assert abs(float(m["loss"]) - expect) < 1e-4
+    for grp in ("clip", "clip_text"):
+        for a, b in zip(jax.tree_util.tree_leaves(state.params[grp]),
+                        jax.tree_util.tree_leaves(state2.params[grp])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the trained model params did change
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["model"]),
+                        jax.tree_util.tree_leaves(state2.params["model"])))

@@ -94,7 +94,7 @@ def cmd_smoke(args) -> int:
     return 0
 
 
-def _make_loaders(cfg, tokenizer, split_paths, train: bool, clip_tokenizer=None):
+def _make_loaders(cfg, tokenizer, split_paths, clip_tokenizer=None):
     from vacnic_tpu.data.collate import collate
     from vacnic_tpu.data.datasets import NewsCaptionDataset
     from vacnic_tpu.data.pipeline import PrefetchLoader
@@ -206,6 +206,18 @@ def cmd_train(args) -> int:
     }
     if getattr(args, "clip_ckpt", None):
         params["clip"] = _load_clip_vision_ckpt(args.clip_ckpt, cfg.clip)
+    if not cfg.train.no_clip_loss:
+        # the optional CLIP contrastive loss (train...match.py:312-321;
+        # released script disables it) needs the text tower + logit_scale too
+        from vacnic_tpu.models.clip_text import clip_text_init
+
+        if getattr(args, "clip_ckpt", None):
+            text_tower = _load_clip_retrieval_ckpt(args.clip_ckpt, cfg.clip)["text"]
+        else:
+            text_tower = clip_text_init(jax.random.fold_in(key, 9))
+        # drop the integer "heads" metadata leaf: value_and_grad rejects
+        # int-typed inputs; the static count comes from cfg.clip.text_heads
+        params["clip_text"] = {k: v for k, v in text_tower.items() if k != "heads"}
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     if args.init_bart:
         # converted pretrained BART (.npz from scripts/convert_checkpoint.py):
@@ -247,7 +259,7 @@ def cmd_train(args) -> int:
         for s in ("train", "val", "test")
     ]
     train_loader, val_loader, test_loader = _make_loaders(
-        cfg, tokenizer, [(paths[0], True), (paths[1], False), (paths[2], False)], True,
+        cfg, tokenizer, [(paths[0], True), (paths[1], False), (paths[2], False)],
         clip_tokenizer=clip_tok,
     )
 
@@ -307,7 +319,7 @@ def cmd_generate(args) -> int:
         mesh = make_mesh(MeshConfig(), devices=jax.devices())
         print(f"sharded decode over {len(jax.devices())} devices", file=sys.stderr)
 
-    (loader,) = _make_loaders(cfg, tokenizer, [(args.data_dict, False)], False)
+    (loader,) = _make_loaders(cfg, tokenizer, [(args.data_dict, False)])
     out = generate_captions(cfg, state.params, loader, tokenizer,
                             out_path=args.out, mesh=mesh)
     print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))

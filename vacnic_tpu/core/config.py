@@ -104,6 +104,10 @@ class ClipVisionConfig:
     layers: int = 12
     heads: int = 12
     output_dim: int = 512  # CLIP joint-embedding dim (after `proj`)
+    # text-tower attention heads (ViT-B CLIP text encoder, width 512) — used
+    # by the optional CLIP contrastive loss, where the tower's stored "heads"
+    # leaf is traced under jit and a static count is needed
+    text_heads: int = 8
 
     @property
     def grid(self) -> int:
@@ -115,7 +119,8 @@ class ClipVisionConfig:
 
     @staticmethod
     def tiny(**kw) -> "ClipVisionConfig":
-        defaults = dict(image_size=32, patch_size=16, width=32, layers=2, heads=4, output_dim=16)
+        defaults = dict(image_size=32, patch_size=16, width=32, layers=2, heads=4,
+                        output_dim=16, text_heads=4)
         defaults.update(kw)
         return ClipVisionConfig(**defaults)
 

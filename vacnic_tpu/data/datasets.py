@@ -9,7 +9,9 @@ image preprocessing — emitting plain numpy dicts for data/collate.py.
 Data-dict JSON contract per hash_id (the reference's
 `*_clip{N}sent_contras_name_pos.json` files): caption, names, org_norp,
 gpe_loc, names_art, org_norp_art, gpe_loc_art, sents_byclip, face_emb_dir,
-obj_emb_dir, name_pos_cap.
+obj_emb_dir, name_pos_cap. The NYTimes dict spellings (name_cap,
+org_norp_cap, gpe_loc_cap, name_art — nytimes...py:636-641) are accepted as
+aliases, so dicts produced by either reference pipeline load unchanged.
 """
 
 from __future__ import annotations
@@ -136,12 +138,24 @@ class NewsCaptionDataset:
             self.image_size,
             self._rng if self.train else None,
         )
+        # Key aliasing: the two reference dataset formats spell the entity
+        # keys differently — GoodNews dicts use names/org_norp/gpe_loc/
+        # names_art (goodnews...py:442, 524-659) while NYTimes dicts use
+        # name_cap/org_norp_cap/gpe_loc_cap/name_art (nytimes...py:636-641).
+        # The unified reader accepts both so either reference-produced dict
+        # loads unchanged.
+        def _rec(*keys: str, default: Any = ()) -> Any:
+            for k in keys:
+                if k in rec:
+                    return rec[k]
+            return list(default)
+
         if rec.get("face_emb_dir"):
             face_emb = np.load(os.path.join(self.face_dir, f"{hash_id}.npy"))
-            names = rec["names"]
+            names = _rec("names", "name_cap")
         else:
             face_emb = np.zeros((0, 512), np.float32)
-            names = rec.get("names", [])
+            names = _rec("names", "name_cap")
 
         obj_emb = (
             np.load(os.path.join(self.obj_dir, f"{hash_id}.npy"))
@@ -157,8 +171,9 @@ class NewsCaptionDataset:
                 article = f.read()
         caption = ascii_fold(rec["caption"])
 
-        org_norp, gpe_loc = rec.get("org_norp", []), rec.get("gpe_loc", [])
-        names_art = dedupe_entities(rec.get("names_art", []))
+        org_norp = _rec("org_norp", "org_norp_cap")
+        gpe_loc = _rec("gpe_loc", "gpe_loc_cap")
+        names_art = dedupe_entities(_rec("names_art", "name_art"))
         org_gpe_art = dedupe_entities(rec.get("org_norp_art", [])) + dedupe_entities(
             rec.get("gpe_loc_art", [])
         )

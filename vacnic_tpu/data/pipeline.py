@@ -64,6 +64,19 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that re-checks stop: an abandoned iterator (e.g.
+            # fit() breaking at max_steps) sets stop while the producer is
+            # blocked on the full queue — a bare q.put would never return,
+            # leaking the thread + pool + queued device batches forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for binds in batches:
@@ -81,8 +94,9 @@ class PrefetchLoader:
                             )
                         else:
                             device_batch[k] = v
-                    q.put(device_batch)
-            q.put(None)
+                    if not put_or_stop(device_batch):
+                        return
+            put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

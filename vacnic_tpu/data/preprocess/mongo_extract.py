@@ -168,9 +168,12 @@ def extract_article(
             "name_art": sorted(names),
             "org_norp_art": sorted(orgs),
             "gpe_loc_art": sorted(gpes),
-            "names": sorted(cap_names),
-            "org_norp": sorted(cap_orgs),
-            "gpe_loc": sorted(cap_gpes),
+            # NYTimes dict key spellings (nytimes...py:636-641); the unified
+            # NewsCaptionDataset reader also accepts the GoodNews spellings
+            # (names / org_norp / gpe_loc / names_art).
+            "name_cap": sorted(cap_names),
+            "org_norp_cap": sorted(cap_orgs),
+            "gpe_loc_cap": sorted(cap_gpes),
             "ner_cap": sorted(get_named_entities(sec)),
             "face_emb": face_emb,
             "face_prob": probs,

@@ -359,7 +359,11 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
         return generate_mm(params, input_ids, attention_mask, image_features,
                            cfg, fcfg, dcfg, **kw)
 
-    t_max = -(-dcfg.max_length // 16) * 16
+    # same T padding rule as _decode_from_encoder's kernel path — an env
+    # VACNIC_CACHE_PAD_PALLAS=4 (the b512 setting) must see the same t_max
+    # here, or the probed plan is validated against a T that never runs
+    t_pad = int(_os.environ.get("VACNIC_CACHE_PAD_PALLAS", 16))
+    t_max = -(-dcfg.max_length // t_pad) * t_pad
     ffn_cols = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
     plan = DF.choose_plan(bsz * k, bsz, t_max, ffn_cols)
     # in-kernel LM head only when the plan (i.e. an explicit

@@ -61,7 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vacnic_tpu.core.config import BartConfig
-from vacnic_tpu.models.layers import ACT2FN
+from vacnic_tpu.kernels.mosaic_math import mosaic_act
 
 
 class ChunkPlan(NamedTuple):
@@ -165,21 +165,8 @@ def _kernel(
     pos = pos_ref[0]
     n_t = plan.n_t
     ns = plan.n_self * n_t
-    if act_name == "gelu":
-        # Exact gelu. Mosaic lowers neither erf nor erfc; use the
-        # Abramowitz-Stegun 7.1.26 rational erf approximation (|err|<=1.5e-7,
-        # below bf16 resolution -> numerically identical to exact gelu here).
-        def _erf(x):
-            s = jnp.sign(x)
-            a = jnp.abs(x)
-            t = 1.0 / (1.0 + 0.3275911 * a)
-            poly = t * (0.254829592 + t * (-0.284496736 + t * (
-                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-            return s * (1.0 - poly * jnp.exp(-a * a))
-
-        act = lambda x: 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
-    else:
-        act = ACT2FN[act_name]
+    # exact gelu via the shared Mosaic-safe rational erf (mosaic_math)
+    act = mosaic_act(act_name)
 
     bk, d = x_s.shape
     tb = self_k_ref.shape[1]
@@ -453,7 +440,10 @@ def _kernel(
         # splits legal; (2) loop heads statically over lane slices with one
         # batched matmul per head. KV traffic is unchanged: each head block
         # is read once.
-        kp = 8
+        # 8-aligned beam-pad width; generalizes past the released beam 5
+        # (beams > 8 previously fell outside the hardcoded kp=8 selector and
+        # beams 8..K-1 silently decoded with zeroed cross-attention)
+        kp = -(-beams // 8) * 8
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (bc * kp, bc * beams), 0)
         c_ids = jax.lax.broadcasted_iota(jnp.int32, (bc * kp, bc * beams), 1)
         expand = ((c_ids == (r_ids // kp) * beams + r_ids % kp)

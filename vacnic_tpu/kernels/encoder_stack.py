@@ -54,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vacnic_tpu.core.config import BartConfig
-from vacnic_tpu.models.layers import ACT2FN
+from vacnic_tpu.kernels.mosaic_math import mosaic_act
 
 
 class EncPlan(NamedTuple):
@@ -133,18 +133,8 @@ def _kernel(
     rows_per = bc * seq
     scaling = hd**-0.5
 
-    if act_name == "gelu":
-        def _erf(v):
-            s = jnp.sign(v)
-            a = jnp.abs(v)
-            t = 1.0 / (1.0 + 0.3275911 * a)
-            poly = t * (0.254829592 + t * (-0.284496736 + t * (
-                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-            return s * (1.0 - poly * jnp.exp(-a * a))
-
-        act = lambda v: 0.5 * v * (1.0 + _erf(v * 0.7071067811865476))
-    else:
-        act = ACT2FN[act_name]
+    # exact gelu via the shared Mosaic-safe rational erf (mosaic_math)
+    act = mosaic_act(act_name)
 
     def ln(ref, v):
         g, b = ref[0, 0, :], ref[0, 1, :]

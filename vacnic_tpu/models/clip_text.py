@@ -91,9 +91,15 @@ def convert_clip_text_openai(sd, layers: int = 12, heads: int = 8) -> Params:
     return p
 
 
-def clip_text_fwd(params: Params, token_ids: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """[B, 77] CLIP-BPE ids → [B, output_dim] normalized-projection-ready embeds."""
-    heads = int(params["heads"])
+def clip_text_fwd(params: Params, token_ids: jax.Array, dtype=jnp.float32,
+                  num_heads: int | None = None) -> jax.Array:
+    """[B, 77] CLIP-BPE ids → [B, output_dim] normalized-projection-ready embeds.
+
+    `num_heads` must be passed explicitly when `params` flows through a jit
+    boundary (the "heads" leaf is traced there and can't be read as a python
+    int); un-jitted callers (the retrieval scorer) may rely on the stored leaf.
+    """
+    heads = num_heads if num_heads is not None else int(params["heads"])
     x = jnp.take(params["token_embedding"]["weight"], token_ids, axis=0).astype(dtype)
     t = x.shape[1]
     x = x + params["positional_embedding"][:t].astype(dtype)[None]

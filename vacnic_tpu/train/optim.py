@@ -85,7 +85,10 @@ def linear_warmup_schedule(base_lr: float, num_training_steps: int, warmup_rate:
 
 
 def _is_clip(path: tuple) -> bool:
-    return any(getattr(p, "key", None) == "clip" for p in path)
+    # "clip" = vision tower, "clip_text" = text tower (present when the
+    # optional CLIP contrastive loss is on) — both belong to the frozen/1e-7
+    # CLIP group, never the BART group (train...match.py:85-109, 376-378).
+    return any(getattr(p, "key", None) in ("clip", "clip_text") for p in path)
 
 
 def make_optimizer(cfg: TrainConfig, num_training_steps: int, train_clip: bool = False,

@@ -189,8 +189,11 @@ def compute_losses(
                 face_mask=face_mask_from_emb(batch["face_emb"]),
                 name_ids=flat_ids, name_mask=flat_mask, add_ner_ffn=False, dtype=dtype,
             )
-            clip_p = params.get("clip") or {}
-            logit_scale = jnp.exp(clip_p.get("logit_scale", jnp.log(jnp.float32(100.0))))
+            # exp(logit_scale) from the CLIP model (train...match.py:332-355);
+            # it lives on the text tower when one is loaded, else the trained
+            # OpenAI CLIP value exp(ln 100)=100.
+            scale_src = params.get("clip_text") or params.get("clip") or {}
+            logit_scale = jnp.exp(scale_src.get("logit_scale", jnp.log(jnp.float32(100.0))))
             fn_loss = L.face_name_infonce(
                 out["hidden_states_face"].astype(jnp.float32),
                 face_mask_from_emb(batch["face_emb"]),
@@ -205,9 +208,18 @@ def compute_losses(
         from vacnic_tpu.models.clip_text import clip_text_fwd
         from vacnic_tpu.models.clip_vit import clip_image_embed
 
-        img_emb = clip_image_embed(params["clip"]["vision"], batch["pixels"], cfg.clip, dtype)
-        txt_emb = clip_text_fwd(params["clip"]["text"], batch["caption_ids_clip"], dtype)
-        scale = jnp.exp(params["clip"]["text"]["logit_scale"])
+        if "clip_text" not in params:
+            raise ValueError(
+                "train.no_clip_loss=false needs a CLIP text tower: pass a "
+                "full-CLIP --clip-ckpt (or build params['clip_text'] with "
+                "clip_text_init) — params['clip'] holds only the vision tower"
+            )
+        img_emb = clip_image_embed(params["clip"], batch["pixels"], cfg.clip, dtype)
+        # static head count from config: the tower's stored "heads" leaf is
+        # traced under jit and can't be read here
+        txt_emb = clip_text_fwd(params["clip_text"], batch["caption_ids_clip"], dtype,
+                                num_heads=cfg.clip.text_heads)
+        scale = jnp.exp(params["clip_text"]["logit_scale"])
         clip_loss = L.clip_contrastive_loss(img_emb, txt_emb, scale)
         metrics["clip_loss"] = clip_loss
         total = total + clip_loss

@@ -331,3 +331,33 @@ def test_shortlist_certificate_fallback_direct(monkeypatch):
     want = full_fn(logits, lse, state, cur)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_randomized_config_sweep(monkeypatch):
+    """Property-style sweep: random decode configs (beams incl. > 8, lengths,
+    penalties, processors, vocab sizes, hf_compat modes) must keep the fast
+    candidate modes final-output-identical to the full-width path. Catches
+    interactions the hand-picked CFGS matrix misses."""
+    rng = np.random.RandomState(20260819)
+    for trial in range(12):
+        k = int(rng.choice([2, 3, 5, 9, 16]))
+        vocab = int(rng.choice([128, 256, 512]))
+        max_len = int(rng.randint(6, 14))
+        cfg = DecodeConfig(
+            num_beams=k,
+            max_length=max_len,
+            min_length=int(rng.choice([0, max(2, max_len // 2)])),
+            length_penalty=float(rng.choice([0.0, 1.0, 2.0, -0.5])),
+            early_stopping=bool(rng.randint(2)),
+            no_repeat_ngram_size=int(rng.choice([0, 2, 3])),
+            forced_eos=bool(rng.randint(2)),
+            hf_compat=str(rng.choice(["4.18", "modern"])),
+        )
+        forced_bos = 0 if rng.randint(2) else None
+        seed = int(rng.randint(10_000))
+        s_full, sc_full = run(cfg, seed, "full", monkeypatch, forced_bos, vocab)
+        for mode in ("shortlist", "opt"):
+            s_m, sc_m = run(cfg, seed, mode, monkeypatch, forced_bos, vocab)
+            ctx = f"trial={trial} mode={mode} cfg={cfg} vocab={vocab} seed={seed}"
+            np.testing.assert_array_equal(s_full, s_m, err_msg=ctx)
+            np.testing.assert_allclose(sc_full, sc_m, rtol=0, atol=0, err_msg=ctx)

@@ -768,3 +768,46 @@ def test_wide_beam_parity(setup):
     ref_beam = np.asarray(ref_logits).reshape(BATCH, wide_beams, -1)
     np.testing.assert_allclose(per_beam, ref_beam, atol=5e-2, rtol=5e-2)
     assert np.abs(per_beam[:, 8:] - ref_beam[:, 8:]).max() < 5e-2
+
+
+def test_online_softmax_rescale_across_chunks(setup):
+    """The kernel's online-softmax rescale (alpha = exp(m_old - m_new),
+    applied to l_s/att_s/pap_s when a LATER time chunk raises the running
+    max) is invisible to the standard rolls: fresh-model caches never raise
+    the max after chunk 0, so a broken rescale (alpha := 1) passes them —
+    found by mutation. Inject cache K rows whose magnitude GROWS with t so
+    every later chunk raises the per-(row, head) max, and compare a
+    chunk-spanning step (pos=9 -> 3 time chunks at n_t=4) to the reference
+    path."""
+    cfg, params, dp, _, _, enc_bias = setup
+    key = jax.random.fold_in(jax.random.PRNGKey(0), 31)
+    enc_out = jax.random.normal(key, (BATCH, S, cfg.d_model), jnp.float32)
+    cache = DF.build_decode_cache(params, enc_out, BEAMS, MAX_LEN, cfg,
+                                  dtype=jnp.float32, pad_to=16)
+    cache_tm = DF.build_decode_cache(params, enc_out, BEAMS, MAX_LEN, cfg,
+                                     dtype=jnp.float32, pad_to=16,
+                                     time_major=True)
+    L, bk, T, D = cache.self_k.shape
+    pos = 9
+    kkey, vkey = jax.random.split(jax.random.fold_in(key, 1))
+    base_k = jax.random.normal(kkey, (L, bk, T, D), jnp.float32)
+    base_v = jax.random.normal(vkey, (L, bk, T, D), jnp.float32)
+    # magnitude grows with t: chunk 1's rows dominate chunk 0's, chunk 2's
+    # dominate chunk 1's -> the running max increases at every chunk switch
+    mag = (1.0 + 0.25 * jnp.arange(T, dtype=jnp.float32))[None, None, :, None]
+    live = (jnp.arange(T) < pos)[None, None, :, None]
+    k_rows = jnp.where(live, base_k * mag, 0.0)
+    v_rows = jnp.where(live, base_v, 0.0)
+    cache = cache._replace(self_k=k_rows, self_v=v_rows)
+    cache_tm = cache_tm._replace(self_k=k_rows.transpose(0, 2, 1, 3),
+                                 self_v=v_rows.transpose(0, 2, 1, 3))
+
+    ref, pal = _jit_steps(cfg, dp, params, enc_bias)
+    tok = jnp.full((bk, 1), 7, jnp.int32)
+    ref_logits, _ = ref(cache, tok, jnp.int32(pos))
+    pal_logits, _ = pal(cache_tm, tok, jnp.int32(pos))
+    # tolerance calibrated against the mutation: correct kernel reads
+    # max|d| ~0.002 here, the alpha:=1 mutant ~0.039 — 0.01 splits them 5x
+    # each way (looser tolerances let the mutant slip through)
+    np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
+                               atol=1e-2, rtol=0)

@@ -150,6 +150,19 @@ def test_decode_roundtrip(toks):
         assert mine.decode(mine.encode(text)) == text
 
 
+def test_decode_keeps_inner_zero_id(toks):
+    # raw id 0 is the legitimate '!' byte symbol (first bytes_to_unicode
+    # entry) — it is padding ONLY after the first EOT. "!!" encodes as
+    # ['!'(id 0), '!</w>'], so a decode that drops every 0 loses characters.
+    mine, _ = toks
+    ids = mine.encode("hello !!", add_special_tokens=False)
+    assert 0 in ids
+    assert mine.decode(mine.encode("hello !!")) == "hello !!"
+    # zero-padding after EOT (the tokenize() array layout) still drops
+    row = mine.tokenize("hello !!", context_length=16)[0]
+    assert mine.decode(row.tolist()) == "hello !!"
+
+
 def test_dataset_emits_caption_ids_clip(tmp_path):
     from vacnic_tpu.data.collate import collate
     from vacnic_tpu.data.datasets import NewsCaptionDataset

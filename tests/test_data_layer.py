@@ -171,6 +171,27 @@ def test_prefetch_loader_abandoned_iterator_terminates(tok):
     assert not extra, f"leaked producer threads: {extra}"
 
 
+def test_prefetch_loader_producer_error_surfaces(tok):
+    """A dataset read/collate failure inside the producer thread must raise in
+    the consumer, not deadlock `for batch in loader` on an empty queue."""
+    import pytest
+
+    class _BadDataset(_ToyDataset):
+        def __getitem__(self, i):
+            if int(i) == 5:
+                raise OSError("corrupt image file")
+            return super().__getitem__(i)
+
+    loader = PrefetchLoader(
+        _BadDataset(tok, n=8), batch_size=4,
+        collate_fn=lambda s: collate(s, article_len=16, caption_len=8, ner_len=10,
+                                     ner_len_gt=6, max_faces=4, num_names=4, name_len=5),
+        num_workers=2, shuffle=False, seed=0,
+    )
+    with pytest.raises(OSError, match="corrupt image file"):
+        list(loader)
+
+
 def test_bpe_tokenizer_if_vocab_available(tmp_path):
     """Exercise the byte-level BPE with a miniature vocab/merges pair."""
     import json

@@ -71,6 +71,17 @@ def test_compute_caption_metrics_shape():
     assert m["other metrics"]["meteor_scorer"] == "meteor15_py(exact+stem)"
 
 
+def test_meteor_sees_punct_stripped_text():
+    # The reference strips punctuation before EVERY scorer incl. the meteor
+    # jar (utils/test_mmbart_clip_ddp.py:161-162); the punctuated and the
+    # pre-stripped pair must therefore score identically
+    punct = compute_caption_metrics([("A man, walking!", "A man walking.")])
+    clean = compute_caption_metrics([("A man walking", "A man walking")])
+    assert abs(punct["other metrics"]["meteor"]
+               - clean["other metrics"]["meteor"]) < 1e-12
+    assert abs(punct["other metrics"]["meteor"] - 1.0) < 1e-9
+
+
 def test_heuristic_ner_basics():
     ner = HeuristicNER()
     ents, propn = ner("President Barack Obama visited Paris in July 2009 with the World Bank Group")
@@ -103,10 +114,12 @@ def test_evaluate_entity_by_gtent():
 
 
 def test_face_groups_split():
+    # face_emb_dir is a str path when faces exist, a list ([]) otherwise —
+    # the reference splits on `type(face_dir) is list` (evaluate_entity.py:391)
     out = {i: {"gt": f"cap {i}", "gen": f"cap {i}"} for i in range(4)}
     data = {
-        "a": {"face_emb_dir": ["x"], "names": ["N"]},
-        "b": {"face_emb_dir": ["x"], "names": []},
+        "a": {"face_emb_dir": "faces/a.npy", "names": ["N"]},
+        "b": {"face_emb_dir": "faces/b.npy", "names": []},
         "c": {"face_emb_dir": [], "names": ["N"]},
         "d": {"face_emb_dir": [], "names": []},
     }
@@ -115,6 +128,21 @@ def test_face_groups_split():
     scored = score_face_groups(out, data, with_entities=False)
     assert scored["face_name"]["count"] == 1
     assert abs(scored["face_name"]["other metrics"]["rouge"] - 1.0) < 1e-9
+
+
+def test_face_groups_split_nytimes_keys():
+    # NYTimes dicts spell the caption-name key "name_cap"
+    # (evaluate_entity.py:386-390); before the alias fix every NYTimes sample
+    # silently landed in the *_noname groups
+    out = {i: {"gt": "c", "gen": "c"} for i in range(2)}
+    data = {
+        "a": {"face_emb_dir": "faces/a.npy", "name_cap": ["N"]},
+        "b": {"face_emb_dir": [], "name_cap": []},
+    }
+    groups = split_by_face_group(out, data)
+    assert len(groups["face_name"]) == 1
+    assert len(groups["noface_noname"]) == 1
+    assert not groups["face_noname"] and not groups["noface_name"]
 
 
 def test_gtent_alignment_guard():

@@ -262,3 +262,46 @@ def test_clip_contrastive_loss_branch():
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree_util.tree_leaves(state.params["model"]),
                         jax.tree_util.tree_leaves(state2.params["model"])))
+
+
+def test_freeze_clip_false_trains_clip_group():
+    """freeze_clip=False must wire the 1e-7 CLIP optimizer group into the
+    train step (the reference's optimizer_clip, train...match.py:85-109):
+    with the CLIP contrastive loss on, the CLIP towers must actually move."""
+    from vacnic_tpu.models.clip_text import clip_text_init
+    from vacnic_tpu.models.clip_vit import clip_vision_init
+
+    cfg = VacnicConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, no_clip_loss=False, freeze_clip=False,
+            # lift the CLIP lr so one update is far above f32 ulp noise
+            lr_clip=1e-3))
+    key = set_random_seed(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    text_tower = clip_text_init(
+        k5, vocab_size=64, context_length=16, width=32, layers=2,
+        heads=cfg.clip.text_heads, output_dim=cfg.clip.output_dim)
+    params = {
+        "model": F.multimodal_bart_init(k1, cfg.bart, cfg.fusion),
+        "clip": clip_vision_init(k4, cfg.clip),
+        "clip_text": {k: v for k, v in text_tower.items() if k != "heads"},
+    }
+    teacher = B.bart_init(k2, cfg.bart)
+    batch = synthetic_batch(cfg, batch_size=4, seed=1, with_pixels=True)
+    rng = np.random.RandomState(3)
+    batch["caption_ids_clip"] = jnp.asarray(
+        rng.randint(1, 63, size=(4, 16)).astype(np.int32))
+
+    init_fn, step_fn = make_train_step(cfg, 100)
+    state = init_fn(params, teacher, k3)
+    step = jax.jit(step_fn)
+    state1, _ = step(state, batch)
+    state2, _ = step(state1, batch)  # step 2: warmup lr is nonzero
+
+    for grp in ("clip", "clip_text"):
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(state.params[grp]),
+                            jax.tree_util.tree_leaves(state2.params[grp]))
+        ), f"{grp} params did not move with freeze_clip=False"

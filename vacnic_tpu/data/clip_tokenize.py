@@ -226,7 +226,14 @@ class ClipBpeTokenizer:
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         """OpenAI decode: join token strings, byte-decode, '</w>' → space.
         ('<','/','w','>' are ASCII, so they survive the byte table intact.)"""
-        special = {self.sot_token_id, self.eot_token_id, 0} if skip_special_tokens else set()
-        text = "".join(self.decoder.get(int(i), "") for i in ids if int(i) not in special)
+        ids = [int(i) for i in ids]
+        if skip_special_tokens:
+            # tokenize() zero-pads after EOT, but raw id 0 is also the
+            # legitimate '!' byte symbol — only ids past the first EOT are
+            # padding; inside the text, 0 must decode.
+            if self.eot_token_id in ids:
+                ids = ids[: ids.index(self.eot_token_id)]
+            ids = [i for i in ids if i not in (self.sot_token_id, self.eot_token_id)]
+        text = "".join(self.decoder.get(i, "") for i in ids)
         raw = bytearray(self.byte_decoder.get(c, 32) for c in text)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()

@@ -88,6 +88,7 @@ class NewsCaptionDataset:
         raw_mode: bool = False,
     ):
         layout = self.LAYOUTS[dataset]
+        self.dataset = dataset
         self.data_dict = data_dict
         self.hash_ids = list(data_dict.keys())
         self.face_dir = os.path.join(data_base_dir, "faces")
@@ -128,7 +129,8 @@ class NewsCaptionDataset:
             )
             return {
                 "article": article,
-                "caption": ascii_fold(rec["caption"]),
+                "caption": (ascii_fold(rec["caption"])
+                            if self.dataset == "goodnews" else rec["caption"]),
                 "raw_img": Image.open(os.path.join(self.img_dir, f"{hash_id}.jpg")).convert("RGB"),
             }
 
@@ -150,12 +152,17 @@ class NewsCaptionDataset:
                     return rec[k]
             return list(default)
 
+        names = _rec("names", "name_cap")
         if rec.get("face_emb_dir"):
             face_emb = np.load(os.path.join(self.face_dir, f"{hash_id}.npy"))
-            names = _rec("names", "name_cap")
         else:
             face_emb = np.zeros((0, 512), np.float32)
-            names = _rec("names", "name_cap")
+            # The GoodNews reader forces names empty when the sample has no
+            # faces (goodnews...py:550-555); the NYTimes reader reads
+            # name_cap unconditionally (its in-branch assignment is commented
+            # out, nytimes...py:636-641, names read at :656).
+            if self.dataset == "goodnews":
+                names = []
 
         obj_emb = (
             np.load(os.path.join(self.obj_dir, f"{hash_id}.npy"))
@@ -169,7 +176,10 @@ class NewsCaptionDataset:
         else:
             with open(os.path.join(self.article_dir, f"{hash_id}.txt")) as f:
                 article = f.read()
-        caption = ascii_fold(rec["caption"])
+        # Only the GoodNews reader unidecodes captions (goodnews...py:570);
+        # the NYTimes reader tokenizes the raw caption (nytimes...py:655).
+        caption = (ascii_fold(rec["caption"]) if self.dataset == "goodnews"
+                   else rec["caption"])
 
         org_norp = _rec("org_norp", "org_norp_cap")
         gpe_loc = _rec("gpe_loc", "gpe_loc_cap")

@@ -78,25 +78,31 @@ class PrefetchLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for binds in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, binds))
-                    batch = self.collate_fn(samples)
-                    device_batch = {}
-                    for k, v in batch.items():
-                        if isinstance(v, np.ndarray) and (
-                            self.device_keys is None or k in self.device_keys
-                        ):
-                            device_batch[k] = (
-                                jax.device_put(v, self.sharding) if self.sharding else jax.device_put(v)
-                            )
-                        else:
-                            device_batch[k] = v
-                    if not put_or_stop(device_batch):
-                        return
-            put_or_stop(None)
+            # A producer failure (bad image file, collate error) must surface
+            # in the consumer: without the except, the thread dies silently
+            # and `for batch in loader` blocks on q.get() forever.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for binds in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, binds))
+                        batch = self.collate_fn(samples)
+                        device_batch = {}
+                        for k, v in batch.items():
+                            if isinstance(v, np.ndarray) and (
+                                self.device_keys is None or k in self.device_keys
+                            ):
+                                device_batch[k] = (
+                                    jax.device_put(v, self.sharding) if self.sharding else jax.device_put(v)
+                                )
+                            else:
+                                device_batch[k] = v
+                        if not put_or_stop(device_batch):
+                            return
+                put_or_stop(None)
+            except BaseException as e:  # re-raised on the consumer side
+                put_or_stop(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -105,6 +111,8 @@ class PrefetchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -209,7 +209,13 @@ def compute_caption_metrics(pairs: Iterable[tuple[str, str]]) -> dict:
         hyps.append(gen)
         refs.append([gt])
     b = bleu.compute()
-    meteor, meteor_src = (meteor_score(hyps, refs) if hyps else (0.0, "empty"))
+    # The reference strips punctuation BEFORE every scorer, METEOR included
+    # (utils/test_mmbart_clip_ddp.py:161-162 re.sub → meteor _stat). BLEU/
+    # ROUGE/CIDEr apply score_tokenize internally; METEOR must see the same
+    # stripped text or its alignment scores punctuation as content tokens.
+    m_hyps = [" ".join(score_tokenize(h)) for h in hyps]
+    m_refs = [[" ".join(score_tokenize(r)) for r in rs] for rs in refs]
+    meteor, meteor_src = (meteor_score(m_hyps, m_refs) if hyps else (0.0, "empty"))
     out = {
         "bleu": {"bleu1": b[0], "bleu2": b[1], "bleu3": b[2], "bleu4": b[3]},
         "other metrics": {

@@ -31,8 +31,15 @@ def split_by_face_group(output_dict: dict, data_dict: dict) -> dict[str, dict]:
     }
     for i, k in enumerate(keys):
         rec = data_dict[data_keys[i]]
-        face = "face" if rec.get("face_emb_dir") else "noface"
-        name = "name" if rec.get("names") else "noname"
+        # face_emb_dir is a str path when faces exist and a (possibly empty)
+        # list otherwise; the reference tests `type(face_dir) is list`
+        # (evaluate_entity.py:391). The caption-name key is spelled "names"
+        # in GoodNews dicts and "name_cap" in NYTimes dicts
+        # (evaluate_entity.py:386-390) — accept both, by key presence.
+        fd = rec.get("face_emb_dir")
+        face = "noface" if isinstance(fd, list) or not fd else "face"
+        name_gt = rec["names"] if "names" in rec else rec.get("name_cap", ())
+        name = "name" if len(name_gt) > 0 else "noname"
         groups[f"{face}_{name}"][k] = output_dict[k]
     return groups
 

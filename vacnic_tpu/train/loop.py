@@ -87,12 +87,16 @@ def fit(
                         [teacher_vecs[int(i)] for i in idxs])
             state, m = jit_step(state, feed)
             steps += 1
+            # ONE device->host transfer for all per-step metrics (+ the cached
+            # teacher states): float(v)-per-metric in MetricsLogger.log would
+            # pay a full round trip per key — ~28 ms each on the tunneled
+            # backend, 100+ ms of pure sync added to every step.
+            m = jax.device_get(m)
             pooled = m.pop("teacher_pooled", None)
             if idxs is not None and pooled is not None:
-                pooled = np.asarray(pooled)
                 for j, i in enumerate(idxs):
                     teacher_vecs[int(i)] = pooled[j]
-            metrics.log({k: v for k, v in m.items()}, step=steps)
+            metrics.log(m, step=steps)
             if max_steps is not None and steps >= max_steps:
                 break
 

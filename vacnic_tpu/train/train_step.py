@@ -242,8 +242,13 @@ def make_train_step(cfg: VacnicConfig, num_training_steps: int, mu_dtype=None,
                     nu_dtype=None):
     """Returns (init_fn, step_fn). step_fn: (state, batch) → (state, metrics),
     jittable and shardable (annotate inputs with NamedShardings)."""
-    tx = make_optimizer(cfg.train, num_training_steps, mu_dtype=mu_dtype,
-                        nu_dtype=nu_dtype)
+    # freeze_clip=False enables the 1e-7 CLIP param group (the reference's
+    # optimizer_clip, train...match.py:85-109; its released script freezes
+    # CLIP and additionally never steps that optimizer, :376-378 — so the
+    # default freeze_clip=True is the reference-faithful path).
+    tx = make_optimizer(cfg.train, num_training_steps,
+                        train_clip=not cfg.train.freeze_clip,
+                        mu_dtype=mu_dtype, nu_dtype=nu_dtype)
 
     def init_fn(params: Params, teacher: Params, rng) -> TrainState:
         return TrainState(

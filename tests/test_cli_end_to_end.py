@@ -128,3 +128,25 @@ def test_cli_train_generate_evaluate(tmp_path, capsys):
     with open(tmp_path / "report.json") as f:
         report = json.load(f)
     assert "entities" in report and report["entities"]["ner_engine"] == "heuristic"
+
+
+def test_cli_main_honors_env_platform(monkeypatch):
+    """cli.main must re-assert JAX_PLATFORMS into jax.config before doing any
+    work: the TPU image's sitecustomize overrides jax_platforms via
+    jax.config at interpreter start, so without this `JAX_PLATFORMS=cpu
+    python -m vacnic_tpu.cli smoke` silently ran against the tunneled TPU
+    (minutes of remote compile for a tiny self-check)."""
+    import jax
+
+    calls = []
+    real_update = jax.config.update
+
+    def spy(name, value):
+        calls.append((name, value))
+        real_update(name, value)
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setattr(jax.config, "update", spy)
+    with pytest.raises(SystemExit):  # bad subcommand — parse happens AFTER
+        cli_main(["no-such-command"])
+    assert ("jax_platforms", "cpu") in calls

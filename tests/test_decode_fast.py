@@ -116,3 +116,43 @@ def test_choose_plan_clamps_env_chunking(monkeypatch):
     plan = DF.choose_plan(20, 4, 16, 256)
     assert plan.n_cross == 1
     monkeypatch.delenv("VACNIC_PLAN_NCROSS")
+    # NT=0 must fall back to the default, not ZeroDivisionError; negatives
+    # must not StopIteration (review finding)
+    for bad in ("0", "-4"):
+        monkeypatch.setenv("VACNIC_PLAN_NT", bad)
+        plan = DF.choose_plan(160, 32, 64, 4096)
+        assert plan.n_t >= 1 and 64 % plan.n_t == 0
+    monkeypatch.delenv("VACNIC_PLAN_NT")
+
+
+def test_decode_fast_distinct_decoder_head_count(rng):
+    """Configs where encoder and decoder head counts differ must decode
+    through the fast path (it previously paired cfg.head_dim — an ENCODER
+    quantity — with decoder_attention_heads and crashed on the reshape)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, encoder_attention_heads=4,
+                              decoder_attention_heads=2)
+    params = B.bart_init(jax.random.PRNGKey(5), cfg)
+    bsz, src, tgt = 2, 9, 4
+    src_ids = rng.randint(4, cfg.vocab_size, size=(bsz, src))
+    mask = jnp.asarray((src_ids != 1).astype(np.int32))
+    tgt_ids = rng.randint(4, cfg.vocab_size, size=(bsz, tgt)).astype(np.int32)
+
+    enc = B.encoder_fwd(params, jnp.asarray(src_ids), mask, cfg)
+    ref_cache = B.init_cache(params, bsz, tgt, enc, cfg)
+    dp = DF.build_decode_params(params, jnp.float32)
+    cache = DF.build_decode_cache(params, enc, 1, tgt, cfg, jnp.float32)
+    enc_bias = expand_mask(mask, 1)
+    for t in range(tgt):
+        dec_h, ref_cache = B.decoder_fwd(
+            params, jnp.asarray(tgt_ids[:, t : t + 1]), enc, mask, cfg,
+            cache=ref_cache, cache_index=jnp.int32(t),
+        )
+        ref = np.asarray(B.lm_logits(params, dec_h)[:, 0])
+        logits, cache = DF.decode_step(
+            dp, params, cache, jnp.asarray(tgt_ids[:, t : t + 1]), jnp.int32(t),
+            enc_bias, cfg, jnp.float32,
+        )
+        np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-4,
+                                   err_msg=f"step {t}")

@@ -106,6 +106,40 @@ def test_restore_across_prng_impl(tmp_path):
                                       np.arange(tpl_shape[0], dtype=np.uint32))
 
 
+def test_restore_raw_handles_extra_subtrees(tmp_path):
+    """A checkpoint whose param tree carries an optional subtree the restore
+    template can't predict (params['clip_text'] from a no_clip_loss=false
+    run, tower dims from the CLIP ckpt file) must fail the template restore
+    but load via restore_raw — the cli generate fallback (review finding)."""
+    from vacnic_tpu.train.train_step import TrainState
+
+    saved = TrainState(
+        step=jnp.asarray(3, jnp.int32),
+        params={"model": {"w": jnp.full((4, 4), 2.0, jnp.float32)},
+                "clip": {"w": jnp.full((4,), 1.0, jnp.float32)},
+                "clip_text": {"token_embedding": jnp.full((8, 4), 5.0, jnp.float32)}},
+        teacher={"w": jnp.zeros((4,), jnp.float32)},
+        opt_state={"mu": jnp.zeros((4, 4), jnp.float32)},
+        rng=jnp.zeros((4,), jnp.uint32),
+    )
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d)
+    mgr.save(3, saved)
+    mgr.wait()
+    template = saved._replace(
+        params={"model": saved.params["model"], "clip": saved.params["clip"]})
+    with pytest.raises(Exception):
+        CheckpointManager(d).restore(template)
+    raw, at = CheckpointManager(d).restore_raw()
+    assert at == 3
+    rparams = raw["params"] if isinstance(raw, dict) else raw.params
+    np.testing.assert_array_equal(
+        np.asarray(rparams["clip_text"]["token_embedding"]),
+        np.full((8, 4), 5.0, np.float32))
+    np.testing.assert_array_equal(np.asarray(rparams["model"]["w"]),
+                                  np.full((4, 4), 2.0, np.float32))
+
+
 def test_generate_captions_output_format(setup, tmp_path):
     cfg, params, teacher, key = setup
     tok = HashWordTokenizer(cfg.bart.vocab_size)

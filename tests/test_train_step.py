@@ -264,6 +264,32 @@ def test_clip_contrastive_loss_branch():
                         jax.tree_util.tree_leaves(state2.params["model"])))
 
 
+def test_tie_fusion_attn_weights_reapplies_after_merge():
+    """init_attn_weight ties cross_attn_img_ner/self_attn_img_name to
+    self_attn at init; after pretrained weights replace self_attn (cli
+    --init-bart merge) the tie must be re-applied so the fusion attentions
+    copy the PRETRAINED weights, not the discarded random init
+    (init_attn_weight_encoder runs on the loaded model, ref :1897-1898)."""
+    cfg = VacnicConfig.tiny()
+    fcfg = dataclasses.replace(cfg.fusion, init_attn_weight=True)
+    params = F.multimodal_bart_init(jax.random.PRNGKey(0), cfg.bart, fcfg)
+    # simulate the pretrained merge: overwrite each fused layer's self_attn
+    layers = list(params["encoder"]["layers"])
+    for i in fcfg.fusion_layers:
+        lp = dict(layers[i])
+        lp["self_attn"] = jax.tree_util.tree_map(
+            lambda a: a + 1.0, lp["self_attn"])
+        layers[i] = lp
+    params["encoder"]["layers"] = tuple(layers)
+    params = F.tie_fusion_attn_weights(params, fcfg)
+    for i in fcfg.fusion_layers:
+        lp = params["encoder"]["layers"][i]
+        for member in ("cross_attn_img_ner", "self_attn_img_name"):
+            for a, b in zip(jax.tree_util.tree_leaves(lp[member]),
+                            jax.tree_util.tree_leaves(lp["self_attn"])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_freeze_clip_false_trains_clip_group():
     """freeze_clip=False must wire the 1e-7 CLIP optimizer group into the
     train step (the reference's optimizer_clip, train...match.py:85-109):

@@ -244,6 +244,11 @@ def cmd_train(args) -> int:
             shared_w = jnp.asarray(pretrained["shared"]["weight"])
             n = min(ner_w.shape[0], shared_w.shape[0], 50265)
             m["encoder"]["embed_tokens_ner"] = {"weight": ner_w.at[:n].set(shared_w[:n])}
+        # Re-apply the attention tie AFTER the pretrained merge: the tie at
+        # init captured the random self_attn that the merge just replaced
+        # (init_attn_weight_encoder runs on the loaded model, ref :1897-1898).
+        if cfg.fusion.init_attn_weight:
+            params["model"] = F.tie_fusion_attn_weights(params["model"], cfg.fusion)
 
     if cfg.train.perturb_bos:
         from vacnic_tpu.train.train_step import perturb_bos
@@ -304,7 +309,19 @@ def cmd_generate(args) -> int:
     init_fn, _ = make_train_step(cfg, 1)
     template = init_fn(params, teacher, key)
     mgr = CheckpointManager(args.ckpt_dir)
-    state, step = mgr.restore(template)
+    try:
+        state, step = mgr.restore(template)
+        gen_params = state.params
+    except Exception:
+        # The saved param tree can carry optional subtrees the template can't
+        # predict — params['clip_text'] from a train.no_clip_loss=false run
+        # keeps tower dims from the training-time CLIP checkpoint file.
+        # Inference only needs the params, so fall back to a template-free
+        # restore of the raw pytree.
+        raw, step = mgr.restore_raw()
+        if raw is None:
+            raise
+        gen_params = raw["params"] if isinstance(raw, dict) else raw.params
     print(f"restored checkpoint at step {step}", file=sys.stderr)
 
     tokenizer = BartBpeTokenizer(args.vocab, args.merges)
@@ -320,7 +337,7 @@ def cmd_generate(args) -> int:
         print(f"sharded decode over {len(jax.devices())} devices", file=sys.stderr)
 
     (loader,) = _make_loaders(cfg, tokenizer, [(args.data_dict, False)])
-    out = generate_captions(cfg, state.params, loader, tokenizer,
+    out = generate_captions(cfg, gen_params, loader, tokenizer,
                             out_path=args.out, mesh=mesh)
     print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
     return 0
@@ -468,6 +485,18 @@ def cmd_lmm(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS the way stock JAX does. The TPU image's
+    # sitecustomize calls axon.register(), which overrides jax_platforms via
+    # jax.config at interpreter start — so `JAX_PLATFORMS=cpu vacnic_tpu.cli
+    # smoke` would silently run against the tunneled TPU (minutes of remote
+    # compile for a tiny self-check). Re-asserting the env value after import
+    # restores env-var semantics; a no-op when the env agrees or is unset.
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        import jax
+
+        jax.config.update("jax_platforms", envp)
+
     p = argparse.ArgumentParser(prog="vacnic_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -55,6 +55,11 @@ class BartConfig:
     def head_dim(self) -> int:
         return self.d_model // self.encoder_attention_heads
 
+    @property
+    def decoder_head_dim(self) -> int:
+        # distinct from head_dim: encoder and decoder head counts may differ
+        return self.d_model // self.decoder_attention_heads
+
     @staticmethod
     def base(**kw) -> "BartConfig":
         """bart-base shape (used by the CPU end-to-end slice, BASELINE config 1)."""

@@ -262,7 +262,7 @@ def build_decode_cache(
     bv = _stack(layers, "encoder_attn", "v_proj", "bias").astype(jnp.float32)
 
     h = cfg.decoder_attention_heads
-    hd = cfg.head_dim
+    hd = cfg.decoder_head_dim
 
     def project(w, bias):
         # per-layer lax.map: the single "bsd,lde->lbse" einsum materializes
@@ -389,7 +389,7 @@ def decode_step(
 ) -> tuple[jax.Array, DecodeCache]:
     """One decoder step over all layers → (logits [B·K, V], new cache)."""
     h_heads = cfg.decoder_attention_heads
-    hd = cfg.head_dim
+    hd = cfg.decoder_head_dim
     d = cfg.d_model
     act = ACT2FN[cfg.activation_function]
     bk_total = tok.shape[0]
@@ -581,6 +581,8 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # row top-C reads the XLA head's logits straight out of fusion; the
     # kernel head's separate [BK, Vp] emission no longer buys anything.
     n_lm = int(os.environ.get("VACNIC_PLAN_NLM", 0))
+    if n_t < 1:  # 0 would ZeroDivisionError below, negatives StopIteration
+        n_t = default_nt
     if t_max % n_t:
         # largest divisor of T not exceeding the request — decode_stack
         # would otherwise reset to 1 and corrupt sweep records

@@ -179,16 +179,27 @@ def multimodal_bart_init(key, cfg: BartConfig, fcfg: FusionConfig) -> Params:
         enc["face_proj"] = linear_init(ks[4], fcfg.face_feature_dim, fcfg.dim_common)  # _linear_1 :1162
 
     if fcfg.init_attn_weight:
-        # Tie fusion attention weights to the pretrained self_attn
-        # (init_attn_weight_encoder, reference :1858-1869).
-        layers = list(enc["layers"])
-        for i in fused_set:
-            lp = dict(layers[i])
-            lp["cross_attn_img_ner"] = copy.deepcopy(lp["self_attn"])
-            if not fcfg.only_image:
-                lp["self_attn_img_name"] = copy.deepcopy(lp["self_attn"])
-            layers[i] = lp
-        enc["layers"] = tuple(layers)
+        params = tie_fusion_attn_weights(params, fcfg)
+    return params
+
+
+def tie_fusion_attn_weights(params: Params, fcfg: FusionConfig) -> Params:
+    """Tie each fused layer's fusion attentions to its CURRENT self_attn
+    (init_attn_weight_encoder, reference :1858-1869). Applied at init, and
+    re-applied after pretrained BART weights are merged in (cli --init-bart):
+    the tie must copy the pretrained self_attn, not the random init it would
+    otherwise have captured."""
+    enc = params["encoder"]
+    layers = list(enc["layers"])
+    for i in set(fcfg.fusion_layers):
+        if i >= len(layers):
+            continue
+        lp = dict(layers[i])
+        lp["cross_attn_img_ner"] = copy.deepcopy(lp["self_attn"])
+        if not fcfg.only_image and "self_attn_img_name" in lp:
+            lp["self_attn_img_name"] = copy.deepcopy(lp["self_attn"])
+        layers[i] = lp
+    enc["layers"] = tuple(layers)
     return params
 
 
@@ -349,11 +360,12 @@ def mm_encoder_fwd(
         ner = embed_ner_stream(enc, name_ids, cfg, rngs, dtype)
         face = linear(enc["face_proj"], face_features.astype(dtype))
         streams["ner"], streams["face"] = ner, face
-        fn_mask = jnp.concatenate([face_mask, name_mask], axis=1)
         if add_ner_ffn:
+            fn_mask = jnp.concatenate([face_mask, name_mask], axis=1)
             masks["face_name"] = expand_mask(fn_mask, fcfg.max_ner_type_len, dtype)
-        else:
-            masks["face_name"] = expand_mask(name_mask, fcfg.max_ner_type_len_gt, dtype)
+        # add_ner_ffn=False: the reference also builds a name-only mask here
+        # (:1262-1266) but no layer consumes it on that path (the name-face
+        # attention block is ffn-gated, :667-679) — we skip the dead compute.
         prompt_len = fcfg.prompt_size if fcfg.prompt_mlp_type == "clipcap" else fcfg.map_size[-1]
         ones = jnp.ones((input_ids.shape[0], prompt_len + fcfg.max_ner_type_len_gt), dtype)
         masks["img_ner"] = expand_mask(ones, src_len, dtype)

@@ -91,7 +91,12 @@ def dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     the float conversion. Same-window chip A/B at b64 teacher-cached:
     70.53 samples/s (907.4 ms) vs bernoulli 67.36 (950.1) — +4.7%.
     Keep-probability quantization is ≤1/65536 (0.9 → 0.899994), far below
-    the mask-stream change the rbg default already made."""
+    the mask-stream change the rbg default already made.
+
+    NOTE the knob is read at TRACE time and is not part of any jit cache
+    key (unlike the decode-side knobs, which generate.py fingerprints):
+    flipping it after a train step has compiled silently reuses the old
+    executable — A/B it with one process per arm (docs/KNOBS.md)."""
     if rng is None or rate <= 0.0:
         return x
     keep = 1.0 - rate

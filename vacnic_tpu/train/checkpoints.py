@@ -89,6 +89,18 @@ class CheckpointManager:
             restored = restored._replace(rng=state_template.rng)
         return restored, step
 
+    def restore_raw(self, step: int | None = None) -> tuple[Any, int]:
+        """Template-free restore: the saved pytree exactly as written (dicts/
+        lists of arrays, no TrainState container). Inference-side loading
+        (cli generate) uses this so checkpoints whose param tree carries
+        optional subtrees the template can't predict — e.g. params['clip_text']
+        from a train.no_clip_loss=false run with tower dims taken from the
+        CLIP checkpoint file — restore without a structure mismatch."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None, 0
+        return self._mgr.restore(step, args=ocp.args.StandardRestore()), step
+
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 

@@ -47,6 +47,7 @@ FAST_TESTS = {
     "test_loop_and_checkpoints.py::test_restore_across_prng_impl", # ckpt/resume
     "test_checkpoint_flow.py::test_retrieve_ckpt_loader_formats",
     "test_decode_fast.py::test_choose_plan_clamps_env_chunking",   # plan legality
+    "test_serve.py::test_singleton_flush",                         # serving micro-batcher
 }
 
 

@@ -1,0 +1,236 @@
+"""CaptionService micro-batching: exactness vs direct decode (incl. padded
+buckets), coalescing, validation, error propagation, and the HTTP front-end.
+
+Exactness tests compare against the SAME jitted program the service runs
+(identical batch shapes + inputs), so equality is deterministic — the
+random-init-degenerate-logits caveat (CLAUDE.md) only bites across different
+programs."""
+
+import json
+import threading
+import time
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from vacnic_tpu.core.config import VacnicConfig
+from vacnic_tpu.data.synthetic import synthetic_batch
+from vacnic_tpu.serve import CaptionService, ServeConfig, make_http_server
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.models.clip_vit import clip_vision_init
+
+    cfg = VacnicConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    params = {
+        "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
+        "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
+    }
+    return cfg, params
+
+
+SAMPLE_KEYS = ("article_ids", "image_cls", "face_emb", "names_art_ids")
+
+
+def _rows(cfg, n, seed=0):
+    batch = synthetic_batch(cfg, n, seed=seed)
+    return [{k: np.asarray(batch[k][i]) for k in SAMPLE_KEYS}
+            for i in range(n)]
+
+
+def _direct(cfg, params, rows):
+    """Decode the stacked rows directly through the same generate path the
+    service uses (vacnic_tpu.serve.CaptionService._decode_rows)."""
+    import jax.numpy as jnp
+
+    from vacnic_tpu.infer.generate import generate_mm_robust
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    batch = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in SAMPLE_KEYS}
+    seqs, scores = generate_mm_robust(
+        params["model"], batch["article_ids"],
+        create_mask(batch["article_ids"]), batch["image_cls"],
+        cfg.bart, cfg.fusion, cfg.decode,
+        face_features=batch["face_emb"],
+        face_mask=face_mask_from_emb(batch["face_emb"]),
+        name_ids=batch["names_art_ids"],
+        name_mask=create_mask(batch["names_art_ids"]),
+        dtype=jnp.float32)
+    return np.asarray(seqs), np.asarray(scores)
+
+
+def test_full_bucket_exact_vs_direct(setup):
+    cfg, params = setup
+    rows = _rows(cfg, 4)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(4,), max_wait_ms=5000))
+    try:
+        futs = [svc.submit(r) for r in rows]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        svc.close()
+    seqs, scores = _direct(cfg, params, rows)
+    for i, res in enumerate(results):
+        assert res["tokens"] == [int(t) for t in seqs[i]]
+        assert res["score"] == pytest.approx(float(scores[i]))
+        assert res["caption"] is None  # no tokenizer attached
+    st = svc.stats()
+    assert st["requests"] == 4 and st["batches"] == 1
+    assert st["bucket_counts"][4] == 1 and st["padded_rows"] == 0
+
+
+def test_padded_bucket_exact(setup):
+    """3 requests into a 4-bucket: the service pads by repeating row 0; the
+    real rows must match a direct decode of that exact padded batch."""
+    cfg, params = setup
+    rows = _rows(cfg, 3, seed=1)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(4,), max_wait_ms=200))
+    try:
+        futs = [svc.submit(r) for r in rows]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        svc.close()
+    seqs, _ = _direct(cfg, params, rows + [rows[0]])
+    for i, res in enumerate(results):
+        assert res["tokens"] == [int(t) for t in seqs[i]]
+    assert svc.stats()["padded_rows"] == 1
+
+
+def test_coalescing_one_batch(setup):
+    cfg, params = setup
+    rows = _rows(cfg, 8, seed=2)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 8), max_wait_ms=5000))
+    try:
+        futs = [svc.submit(r) for r in rows]
+        for f in futs:
+            f.result(timeout=300)
+    finally:
+        svc.close()
+    st = svc.stats()
+    # all 8 arrived well inside max_wait → one full 8-bucket dispatch
+    assert st["batches"] == 1 and st["bucket_counts"][8] == 1
+
+
+def test_singleton_flush(setup):
+    cfg, params = setup
+    (row,) = _rows(cfg, 1, seed=3)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 4), max_wait_ms=1))
+    try:
+        res = svc.caption(row, timeout=300)
+        assert len(res["tokens"]) == cfg.decode.max_length
+        assert svc.stats()["bucket_counts"][1] == 1
+    finally:
+        svc.close()
+
+
+def test_submit_validation(setup):
+    cfg, params = setup
+    svc = CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(1,)))
+    try:
+        (row,) = _rows(cfg, 1)
+        with pytest.raises(ValueError, match="missing"):
+            svc.submit({k: v for k, v in row.items() if k != "image_cls"})
+        bad = dict(row, article_ids=row["article_ids"][:-1])
+        with pytest.raises(ValueError, match="expected shape"):
+            svc.submit(bad)
+        with pytest.raises(ValueError, match="unexpected"):
+            svc.submit(dict(row, bogus=np.zeros(3)))
+    finally:
+        svc.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.submit(row)
+
+
+def test_decode_error_propagates(setup, monkeypatch):
+    cfg, params = setup
+    import vacnic_tpu.infer.generate as G
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic decode failure")
+
+    monkeypatch.setattr(G, "generate_mm_robust", boom)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(2,), max_wait_ms=500))
+    try:
+        futs = [svc.submit(r) for r in _rows(cfg, 2, seed=4)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="synthetic decode failure"):
+                f.result(timeout=60)
+        assert svc.stats()["errors"] == 2
+    finally:
+        svc.close()
+
+
+def test_config_validation(setup):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="ascending"):
+        CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(8, 4)))
+    with pytest.raises(ValueError, match="input_kind"):
+        CaptionService(cfg, params,
+                       serve_cfg=ServeConfig(input_kind="jpeg"))
+
+
+def test_http_roundtrip(setup):
+    cfg, params = setup
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 2), max_wait_ms=1))
+    srv = make_http_server(svc, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["ok"] is True
+
+        (row,) = _rows(cfg, 1, seed=5)
+        payload = json.dumps({k: v.tolist() for k, v in row.items()}).encode()
+        req = urllib.request.Request(
+            f"{base}/v1/caption", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.load(r)
+        assert len(body["tokens"]) == cfg.decode.max_length
+        assert isinstance(body["score"], float)
+
+        # malformed request → 400 with the validation message
+        bad = urllib.request.Request(
+            f"{base}/v1/caption", data=b'{"article_ids": [1, 2]}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
+            st = json.load(r)
+        assert st["requests"] >= 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        svc.close()
+
+
+def test_precompile_warms_buckets(setup):
+    cfg, params = setup
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 2), max_wait_ms=1))
+    try:
+        svc.precompile()
+        t0 = time.monotonic()
+        svc.caption(_rows(cfg, 1, seed=6)[0], timeout=300)
+        warm_s = time.monotonic() - t0
+        # the program was compiled by precompile(); the serve call only
+        # executes (tiny config on CPU: well under a second)
+        assert warm_s < 5.0
+    finally:
+        svc.close()

@@ -288,18 +288,18 @@ def cmd_train(args) -> int:
     return 0
 
 
-def cmd_generate(args) -> int:
-    from vacnic_tpu.data.tokenize import BartBpeTokenizer
-    from vacnic_tpu.models import bart as B, fusion as F
-    from vacnic_tpu.train.checkpoints import CheckpointManager
-    from vacnic_tpu.train.loop import generate_captions
-    from vacnic_tpu.train.train_step import make_train_step
+def _restore_gen_params(ckpt_dir: str, set_overrides):
+    """Load (cfg, inference params) from a training checkpoint directory —
+    the shared restore path of `generate` and `serve`."""
     import jax
 
+    from vacnic_tpu.models import bart as B, fusion as F
     from vacnic_tpu.models.clip_vit import clip_vision_init
+    from vacnic_tpu.train.checkpoints import CheckpointManager
+    from vacnic_tpu.train.train_step import make_train_step
 
-    cfg = CheckpointManager.load_config(args.ckpt_dir)
-    cfg = _apply_overrides(cfg, args.set or [])
+    cfg = CheckpointManager.load_config(ckpt_dir)
+    cfg = _apply_overrides(cfg, set_overrides or [])
     key = jax.random.PRNGKey(cfg.decode.seed)
     params = {
         "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
@@ -308,7 +308,7 @@ def cmd_generate(args) -> int:
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     init_fn, _ = make_train_step(cfg, 1)
     template = init_fn(params, teacher, key)
-    mgr = CheckpointManager(args.ckpt_dir)
+    mgr = CheckpointManager(ckpt_dir)
     try:
         state, step = mgr.restore(template)
         gen_params = state.params
@@ -323,6 +323,15 @@ def cmd_generate(args) -> int:
             raise
         gen_params = raw["params"] if isinstance(raw, dict) else raw.params
     print(f"restored checkpoint at step {step}", file=sys.stderr)
+    return cfg, gen_params
+
+
+def cmd_generate(args) -> int:
+    from vacnic_tpu.data.tokenize import BartBpeTokenizer
+    from vacnic_tpu.train.loop import generate_captions
+    import jax
+
+    cfg, gen_params = _restore_gen_params(args.ckpt_dir, args.set)
 
     tokenizer = BartBpeTokenizer(args.vocab, args.merges)
     tokenizer.add_special_tokens(["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
@@ -340,6 +349,63 @@ def cmd_generate(args) -> int:
     out = generate_captions(cfg, gen_params, loader, tokenizer,
                             out_path=args.out, mesh=mesh)
     print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Online caption serving: micro-batched beam decode behind an HTTP API
+    (vacnic_tpu/serve.py). Beyond-reference surface — the reference only
+    ships offline batch inference (utils/test_mmbart_clip_ddp.py)."""
+    from vacnic_tpu.core.config import VacnicConfig
+    from vacnic_tpu.serve import CaptionService, ServeConfig, http_serve
+
+    if args.ckpt_dir:
+        cfg, params = _restore_gen_params(args.ckpt_dir, args.set)
+    elif args.random_init:
+        # random-init mode: stand the full serving stack up without a
+        # checkpoint (drive tests, load tests, latency rehearsals)
+        import jax
+
+        from vacnic_tpu.models import fusion as F
+        from vacnic_tpu.models.clip_vit import clip_vision_init
+
+        cfg = {"full": VacnicConfig.full_train,
+               "onlyvis": VacnicConfig.onlyvis_train,
+               "tiny": VacnicConfig.tiny}[args.config]()
+        cfg = _apply_overrides(cfg, args.set or [])
+        key = jax.random.PRNGKey(cfg.decode.seed)
+        params = {
+            "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
+            "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
+        }
+        print("serving RANDOM-INIT weights (--random-init)", file=sys.stderr)
+    else:
+        print("serve: need --ckpt-dir or --random-init", file=sys.stderr)
+        return 2
+
+    tokenizer = None
+    if args.vocab and args.merges:
+        from vacnic_tpu.data.tokenize import BartBpeTokenizer
+
+        tokenizer = BartBpeTokenizer(args.vocab, args.merges)
+        tokenizer.add_special_tokens(
+            ["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
+
+    scfg = ServeConfig(
+        buckets=tuple(int(b) for b in args.buckets.split(",")),
+        max_wait_ms=args.max_wait_ms,
+        input_kind=args.input_kind,
+    )
+    service = CaptionService(cfg, params, tokenizer=tokenizer, serve_cfg=scfg)
+    if not args.no_precompile:
+        print(f"precompiling buckets {scfg.buckets} ...", file=sys.stderr)
+        service.precompile()
+    try:
+        http_serve(service, host=args.host, port=args.port)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
     return 0
 
 
@@ -533,6 +599,25 @@ def main(argv=None) -> int:
                          "(the device count must divide the batch size; "
                          "non-divisible tail batches decode single-program)")
     sp.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("serve", help="online caption service (micro-batched HTTP)")
+    sp.add_argument("--ckpt-dir", default=None)
+    sp.add_argument("--random-init", action="store_true",
+                    help="serve random-init weights (drive/load testing)")
+    sp.add_argument("--config", choices=["full", "onlyvis", "tiny"], default="full",
+                    help="config preset for --random-init (ckpt runs use the saved config)")
+    sp.add_argument("--vocab", default=None, help="BART vocab.json (else token-id output)")
+    sp.add_argument("--merges", default=None)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8500)
+    sp.add_argument("--buckets", default="1,8,32",
+                    help="comma-separated static batch buckets (each = one XLA program)")
+    sp.add_argument("--max-wait-ms", type=float, default=10.0,
+                    help="batcher hold time for incomplete batches (latency/throughput dial)")
+    sp.add_argument("--input-kind", choices=["image_cls", "pixels"], default="image_cls")
+    sp.add_argument("--no-precompile", action="store_true")
+    sp.add_argument("--set", action="append", metavar="sec.field=val")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("retrieve", help="CLIP sentence-retrieval preprocessing")
     sp.add_argument("--data-dict", required=True)

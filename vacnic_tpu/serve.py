@@ -1,0 +1,376 @@
+"""Online caption serving: dynamic micro-batching over the jitted decoder.
+
+The reference's inference surface is offline scripts only (a DataLoader swept
+once per checkpoint — utils/test_mmbart_clip_ddp.py:1256-1293); it has no
+request-at-a-time serving story. Production TPU serving needs one extra
+discipline the offline path never faces: XLA compiles one program per static
+shape, so a server cannot decode "whatever arrived" — it must quantize
+arrivals onto a small ladder of precompiled batch buckets and pad the
+remainder. That is what `CaptionService` does:
+
+  submit(sample) -> Future        # any thread
+       │  (bounded queue)
+  batcher thread: collect up to max_batch requests or until max_wait_ms,
+  pick the smallest bucket >= n, pad rows, run ONE jitted beam search,
+  slice the real rows back into the futures.
+
+Design points:
+- Padding is exact: beam search is per-sample independent (each row attends
+  only to its own history), so dummy rows cannot change real rows' tokens.
+  tests/test_serve.py pins this by comparing against the same padded batch
+  decoded directly.
+- One dispatch thread owns all device work — the TPU tunnel on this target
+  serializes concurrent processes/streams anyway (CLAUDE.md), and a single
+  issuing thread keeps the jit cache and the device queue warm and ordered.
+- Buckets default to (1, 8, 32, 256): 256 is the measured-throughput plateau
+  of the fused decode path and 1 is the latency floor (~84 ms/caption on the
+  v5e, docs/decode_budget.md).
+
+`http_serve` puts a minimal stdlib HTTP front on the service (POST
+/v1/caption, GET /healthz, GET /v1/stats) — enough to load-test and to stand
+in for a real RPC layer without adding dependencies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any
+
+import numpy as np
+
+from vacnic_tpu.core.config import VacnicConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Micro-batching policy.
+
+    buckets: ascending static batch sizes the server compiles; arrivals are
+        grouped to the smallest bucket that fits. Keep the ladder short —
+        each bucket is one XLA program (compile time + executable memory).
+    max_wait_ms: how long the batcher holds an incomplete batch hoping for
+        more arrivals. The latency/throughput dial: 0 decodes singletons
+        immediately, larger values trade p50 latency for MXU utilization.
+    max_queue: bound on queued requests; submit raises when full
+        (backpressure instead of unbounded memory growth).
+    input_kind: "image_cls" (precomputed CLIP CLS features, the loader
+        contract) or "pixels" (raw normalized images; the service runs the
+        CLIP tower inside the same batch program).
+    """
+
+    buckets: tuple[int, ...] = (1, 8, 32, 256)
+    max_wait_ms: float = 10.0
+    max_queue: int = 4096
+    input_kind: str = "image_cls"
+
+
+class CaptionService:
+    """Thread-safe micro-batching front over `generate_mm_robust`.
+
+    `params` is the model param tree ({"model": ..., "clip": ...} as produced
+    by training / checkpoint restore; "clip" only needed for pixels input).
+    `tokenizer` (optional) turns token rows into caption strings.
+    """
+
+    def __init__(self, cfg: VacnicConfig, params: dict, *,
+                 tokenizer=None, serve_cfg: ServeConfig | None = None):
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.scfg = serve_cfg or ServeConfig()
+        if not self.scfg.buckets or list(self.scfg.buckets) != sorted(
+                set(self.scfg.buckets)):
+            raise ValueError(f"buckets must be ascending and unique, got "
+                             f"{self.scfg.buckets}")
+        if self.scfg.input_kind not in ("image_cls", "pixels"):
+            raise ValueError(f"unknown input_kind {self.scfg.input_kind!r}")
+        self._dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
+                       else jnp.float32)
+        self._q: queue.Queue = queue.Queue(maxsize=self.scfg.max_queue)
+        self._closed = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "batches": 0, "padded_rows": 0, "errors": 0,
+            "bucket_counts": {int(b): 0 for b in self.scfg.buckets},
+            "wait_ms_sum": 0.0, "decode_ms_sum": 0.0,
+        }
+        self._expected = self._expected_shapes()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="vacnic-serve-batcher")
+        self._worker.start()
+
+    # -- request side --------------------------------------------------------
+
+    def _expected_shapes(self) -> dict[str, tuple[tuple[int, ...], Any]]:
+        c, f, d = self.cfg, self.cfg.fusion, self.cfg.data
+        exp: dict[str, tuple[tuple[int, ...], Any]] = {
+            "article_ids": ((d.article_max_length,), np.int32),
+        }
+        if self.scfg.input_kind == "pixels":
+            exp["pixels"] = ((c.clip.image_size, c.clip.image_size, 3),
+                             np.float32)
+        else:
+            exp["image_cls"] = ((f.img_size,), np.float32)
+        if not f.only_image:
+            exp["face_emb"] = ((f.max_faces, f.face_feature_dim), np.float32)
+            exp["names_art_ids"] = ((f.max_ner_type_len,), np.int32)
+        return exp
+
+    def submit(self, sample: dict[str, Any]) -> Future:
+        """Enqueue one request. `sample` holds per-sample arrays (no batch
+        dim) matching the §2.4 contract: article_ids, image_cls|pixels, and
+        (full model) face_emb + names_art_ids. Returns a Future resolving to
+        {"tokens": list[int], "score": float, "caption": str|None}.
+
+        Raises immediately (not via the future) on a malformed sample or a
+        full queue, so bad input never ties up the batcher."""
+        if self._closed.is_set():
+            raise RuntimeError("CaptionService is closed")
+        clean = {}
+        for key, (shape, dt) in self._expected.items():
+            if key not in sample:
+                raise ValueError(f"sample missing {key!r} "
+                                 f"(expected keys: {sorted(self._expected)})")
+            arr = np.asarray(sample[key], dtype=dt)
+            if arr.shape != shape:
+                raise ValueError(f"{key}: expected shape {shape}, "
+                                 f"got {arr.shape}")
+            clean[key] = arr
+        extra = set(sample) - set(self._expected)
+        if extra:
+            raise ValueError(f"unexpected sample keys: {sorted(extra)}")
+        fut: Future = Future()
+        try:
+            self._q.put_nowait((clean, fut, time.monotonic()))
+        except queue.Full:
+            raise RuntimeError(
+                f"serve queue full ({self.scfg.max_queue}); retry later")
+        return fut
+
+    def caption(self, sample: dict[str, Any], timeout: float | None = None):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(sample).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+            s["bucket_counts"] = dict(self._stats["bucket_counts"])
+        n = max(1, s["batches"])
+        s["mean_wait_ms"] = s.pop("wait_ms_sum") / max(1, s["requests"])
+        s["mean_decode_ms"] = s.pop("decode_ms_sum") / n
+        s["queue_depth"] = self._q.qsize()
+        return s
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop accepting work, drain the queue (pending requests fail with
+        RuntimeError), and join the batcher."""
+        if self._closed.is_set():
+            return
+        self._closed.set()
+        try:  # wake the batcher if it's blocked on get(); best-effort — the
+            # worker re-checks _closed every 100 ms regardless
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
+        self._worker.join(timeout=timeout)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("service closed"))
+
+    # -- batcher side ---------------------------------------------------------
+
+    def precompile(self, buckets: tuple[int, ...] | None = None) -> None:
+        """Warm the jit cache: decode one synthetic batch per bucket so the
+        first real request never pays a cold compile (minutes on the tunneled
+        TPU backend). Run before exposing the service."""
+        from vacnic_tpu.data.synthetic import synthetic_batch
+
+        for b in buckets or self.scfg.buckets:
+            batch = synthetic_batch(
+                self.cfg, b, seed=0,
+                with_pixels=self.scfg.input_kind == "pixels")
+            rows = [{k: np.asarray(batch[k][i]) for k in self._expected}
+                    for i in range(b)]
+            self._decode_rows(rows)
+
+    def _run(self) -> None:
+        while not self._closed.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            items = [first]
+            max_b = self.scfg.buckets[-1]
+            deadline = time.monotonic() + self.scfg.max_wait_ms / 1e3
+            while len(items) < max_b:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                items.append(nxt)
+            self._dispatch(items)
+
+    def _dispatch(self, items: list) -> None:
+        n = len(items)
+        bucket = next((b for b in self.scfg.buckets if b >= n),
+                      self.scfg.buckets[-1])
+        now = time.monotonic()
+        try:
+            t0 = time.monotonic()
+            results = self._decode_rows([it[0] for it in items], bucket=bucket)
+            decode_ms = (time.monotonic() - t0) * 1e3
+        except Exception as e:  # surface to every caller in the batch
+            with self._lock:
+                self._stats["errors"] += n
+            for _, fut, _ in items:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        with self._lock:
+            self._stats["requests"] += n
+            self._stats["batches"] += 1
+            self._stats["padded_rows"] += bucket - n
+            self._stats["bucket_counts"][int(bucket)] += 1
+            self._stats["wait_ms_sum"] += sum(
+                (now - t_in) * 1e3 for _, _, t_in in items)
+            self._stats["decode_ms_sum"] += decode_ms
+        for res, (_, fut, _) in zip(results, items):
+            if not fut.done():
+                fut.set_result(res)
+
+    def _decode_rows(self, rows: list[dict], bucket: int | None = None
+                     ) -> list[dict]:
+        """Stack sample rows, pad to `bucket` by repeating row 0 (results for
+        pad rows are sliced off — beam decode is row-independent so padding
+        cannot perturb real rows), run one jitted search."""
+        import jax.numpy as jnp
+
+        from vacnic_tpu.infer.generate import generate_mm_robust
+        from vacnic_tpu.models.clip_vit import clip_vision_fwd
+        from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+        n = len(rows)
+        bucket = bucket or n
+        batch = {}
+        for key in self._expected:
+            stacked = np.stack([r[key] for r in rows])
+            if bucket > n:
+                pad = np.repeat(stacked[:1], bucket - n, axis=0)
+                stacked = np.concatenate([stacked, pad], axis=0)
+            batch[key] = jnp.asarray(stacked)
+
+        if self.scfg.input_kind == "pixels":
+            _, img_cls = clip_vision_fwd(self.params["clip"], batch["pixels"],
+                                         self.cfg.clip, self._dtype)
+        else:
+            img_cls = batch["image_cls"]
+        kwargs = {}
+        if not self.cfg.fusion.only_image:
+            kwargs = dict(
+                face_features=batch["face_emb"],
+                face_mask=face_mask_from_emb(batch["face_emb"]),
+                name_ids=batch["names_art_ids"],
+                name_mask=create_mask(batch["names_art_ids"]),
+            )
+        src = batch["article_ids"]
+        seqs, scores = generate_mm_robust(
+            self.params["model"], src, create_mask(src), img_cls,
+            self.cfg.bart, self.cfg.fusion, self.cfg.decode,
+            dtype=self._dtype, **kwargs)
+        seqs = np.asarray(seqs)[:n]
+        scores = np.asarray(scores)[:n]
+        out = []
+        for i in range(n):
+            caption = None
+            if self.tokenizer is not None:
+                caption = self.tokenizer.decode(seqs[i],
+                                                skip_special_tokens=True)
+            out.append({"tokens": [int(t) for t in seqs[i]],
+                        "score": float(scores[i]), "caption": caption})
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Minimal stdlib HTTP front-end
+# ---------------------------------------------------------------------------
+
+
+def make_http_server(service: CaptionService, host: str = "127.0.0.1",
+                     port: int = 0):
+    """Build (not start) a ThreadingHTTPServer bound to the service.
+
+    Routes: POST /v1/caption (JSON sample -> JSON result), GET /healthz,
+    GET /v1/stats. Returns the server; call .serve_forever() (blocking) or
+    run it in a thread; .server_address[1] is the bound port (port=0 picks an
+    ephemeral one)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib handler naming)
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/v1/stats":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/caption":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                sample = json.loads(self.rfile.read(length) or b"{}")
+                fut = service.submit(sample)
+            except (ValueError, RuntimeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            try:
+                self._send(200, fut.result())
+            except Exception as e:  # decode-side failure
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def http_serve(service: CaptionService, host: str = "127.0.0.1",
+               port: int = 8500) -> None:
+    """Blocking HTTP serve loop (the `vacnic serve` CLI entry)."""
+    srv = make_http_server(service, host, port)
+    print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]} "
+          f"(buckets={service.scfg.buckets}, "
+          f"max_wait_ms={service.scfg.max_wait_ms})")
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()
+        service.close()

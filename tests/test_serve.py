@@ -175,9 +175,46 @@ def test_config_validation(setup):
     cfg, params = setup
     with pytest.raises(ValueError, match="ascending"):
         CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(8, 4)))
+    with pytest.raises(ValueError, match="positive"):
+        CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(0, 8)))
     with pytest.raises(ValueError, match="input_kind"):
         CaptionService(cfg, params,
                        serve_cfg=ServeConfig(input_kind="jpeg"))
+
+
+def test_non_numeric_payload_is_value_error(setup):
+    """np.asarray raises TypeError on null/object values; submit must
+    normalize that to ValueError so the HTTP layer answers 400, not a
+    dropped connection (review finding)."""
+    cfg, params = setup
+    svc = CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(1,)))
+    try:
+        (row,) = _rows(cfg, 1)
+        with pytest.raises(ValueError, match="not convertible"):
+            svc.submit(dict(row, article_ids=None))
+        with pytest.raises(ValueError, match="not convertible"):
+            svc.submit(dict(row, article_ids=[{"a": 1}] * 16))
+    finally:
+        svc.close()
+
+
+def test_cancelled_future_does_not_kill_batcher(setup):
+    """Caller-side Future.cancel() racing the batcher's set_result must not
+    raise InvalidStateError in the worker (review finding): the service
+    stays alive and serves the next request."""
+    cfg, params = setup
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 2), max_wait_ms=1))
+    try:
+        (row,) = _rows(cfg, 1, seed=7)
+        fut = svc.submit(row)
+        fut.cancel()  # may or may not win the race — either is legal
+        # service must still work afterwards
+        res = svc.caption(row, timeout=300)
+        assert len(res["tokens"]) == cfg.decode.max_length
+        assert svc._worker.is_alive()
+    finally:
+        svc.close()
 
 
 def test_http_roundtrip(setup):

@@ -288,23 +288,34 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _init_inference_params(cfg):
+    """Random-init inference param tree (model + frozen CLIP vision tower) —
+    the template for checkpoint restore and serve's --random-init mode.
+    The fold_in constants match cmd_train's so restore templates line up."""
+    import jax
+
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.models.clip_vit import clip_vision_init
+
+    key = jax.random.PRNGKey(cfg.decode.seed)
+    return key, {
+        "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
+        "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
+    }
+
+
 def _restore_gen_params(ckpt_dir: str, set_overrides):
     """Load (cfg, inference params) from a training checkpoint directory —
     the shared restore path of `generate` and `serve`."""
     import jax
 
-    from vacnic_tpu.models import bart as B, fusion as F
-    from vacnic_tpu.models.clip_vit import clip_vision_init
+    from vacnic_tpu.models import bart as B
     from vacnic_tpu.train.checkpoints import CheckpointManager
     from vacnic_tpu.train.train_step import make_train_step
 
     cfg = CheckpointManager.load_config(ckpt_dir)
     cfg = _apply_overrides(cfg, set_overrides or [])
-    key = jax.random.PRNGKey(cfg.decode.seed)
-    params = {
-        "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
-        "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
-    }
+    key, params = _init_inference_params(cfg)
     teacher = B.bart_init(jax.random.fold_in(key, 1), cfg.bart)
     init_fn, _ = make_train_step(cfg, 1)
     template = init_fn(params, teacher, key)
@@ -364,20 +375,11 @@ def cmd_serve(args) -> int:
     elif args.random_init:
         # random-init mode: stand the full serving stack up without a
         # checkpoint (drive tests, load tests, latency rehearsals)
-        import jax
-
-        from vacnic_tpu.models import fusion as F
-        from vacnic_tpu.models.clip_vit import clip_vision_init
-
         cfg = {"full": VacnicConfig.full_train,
                "onlyvis": VacnicConfig.onlyvis_train,
                "tiny": VacnicConfig.tiny}[args.config]()
         cfg = _apply_overrides(cfg, args.set or [])
-        key = jax.random.PRNGKey(cfg.decode.seed)
-        params = {
-            "model": F.multimodal_bart_init(key, cfg.bart, cfg.fusion),
-            "clip": clip_vision_init(jax.random.fold_in(key, 3), cfg.clip),
-        }
+        _, params = _init_inference_params(cfg)
         print("serving RANDOM-INIT weights (--random-init)", file=sys.stderr)
     else:
         print("serve: need --ckpt-dir or --random-init", file=sys.stderr)

@@ -46,6 +46,19 @@ import numpy as np
 from vacnic_tpu.core.config import VacnicConfig
 
 
+def _safe_set(fut: Future, result=None, exc: BaseException | None = None) -> None:
+    """Resolve a future, tolerating caller-side cancel()/double-set races:
+    a cancelled or already-resolved future makes set_result/set_exception
+    raise InvalidStateError, which must never kill the batcher thread."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:  # InvalidStateError (cancelled / already resolved)
+        pass
+
+
 @dataclasses.dataclass(frozen=True)
 class ServeConfig:
     """Micro-batching policy.
@@ -89,6 +102,9 @@ class CaptionService:
                 set(self.scfg.buckets)):
             raise ValueError(f"buckets must be ascending and unique, got "
                              f"{self.scfg.buckets}")
+        if self.scfg.buckets[0] < 1:
+            raise ValueError(f"buckets must be positive, got "
+                             f"{self.scfg.buckets}")
         if self.scfg.input_kind not in ("image_cls", "pixels"):
             raise ValueError(f"unknown input_kind {self.scfg.input_kind!r}")
         self._dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
@@ -96,6 +112,10 @@ class CaptionService:
         self._q: queue.Queue = queue.Queue(maxsize=self.scfg.max_queue)
         self._closed = threading.Event()
         self._lock = threading.Lock()
+        # serializes ALL device work (batcher dispatches + precompile from
+        # any caller thread): concurrent jit compiles contend for the single
+        # tunnel client on this backend and can wedge for minutes
+        self._device_lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "padded_rows": 0, "errors": 0,
             "bucket_counts": {int(b): 0 for b in self.scfg.buckets},
@@ -138,7 +158,13 @@ class CaptionService:
             if key not in sample:
                 raise ValueError(f"sample missing {key!r} "
                                  f"(expected keys: {sorted(self._expected)})")
-            arr = np.asarray(sample[key], dtype=dt)
+            try:
+                arr = np.asarray(sample[key], dtype=dt)
+            except (TypeError, ValueError) as e:
+                # np raises TypeError on nulls/objects — normalize to the
+                # validation error type callers (and the HTTP 400 path) expect
+                raise ValueError(f"{key}: not convertible to {np.dtype(dt).name}"
+                                 f" ({e})") from e
             if arr.shape != shape:
                 raise ValueError(f"{key}: expected shape {shape}, "
                                  f"got {arr.shape}")
@@ -152,6 +178,12 @@ class CaptionService:
         except queue.Full:
             raise RuntimeError(
                 f"serve queue full ({self.scfg.max_queue}); retry later")
+        if self._closed.is_set():
+            # close() may have drained and the worker exited between the
+            # top-of-method check and the put — nobody would ever resolve
+            # this future. Fail it here; if the worker DID pick it up,
+            # whichever side resolves first wins (_safe_set is idempotent).
+            _safe_set(fut, exc=RuntimeError("service closed"))
         return fut
 
     def caption(self, sample: dict[str, Any], timeout: float | None = None):
@@ -169,8 +201,12 @@ class CaptionService:
         return s
 
     def close(self, timeout: float = 30.0) -> None:
-        """Stop accepting work, drain the queue (pending requests fail with
-        RuntimeError), and join the batcher."""
+        """Stop accepting work and join the batcher. The BATCHER drains the
+        queue on its way out (pending requests fail with RuntimeError) — the
+        queue has exactly one consumer at all times, so close() never races
+        it. If the worker is still mid-decode after `timeout` (a cold remote
+        compile can take minutes on this backend), warn and return; the
+        worker finishes, drains, and exits on its own."""
         if self._closed.is_set():
             return
         self._closed.set()
@@ -180,13 +216,13 @@ class CaptionService:
         except queue.Full:
             pass
         self._worker.join(timeout=timeout)
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[1].set_exception(RuntimeError("service closed"))
+        if self._worker.is_alive():
+            import warnings
+
+            warnings.warn(
+                f"CaptionService.close: batcher still running after "
+                f"{timeout}s (in-flight decode/compile); it will drain and "
+                f"exit when the device call returns", stacklevel=2)
 
     # -- batcher side ---------------------------------------------------------
 
@@ -212,21 +248,32 @@ class CaptionService:
                 continue
             if first is None:
                 continue
-            items = [first]
-            max_b = self.scfg.buckets[-1]
-            deadline = time.monotonic() + self.scfg.max_wait_ms / 1e3
-            while len(items) < max_b:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self._q.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    break
-                items.append(nxt)
-            self._dispatch(items)
+            self._collect_and_dispatch(first)
+        # sole-consumer drain on exit: fail whatever is still queued
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _safe_set(item[1], exc=RuntimeError("service closed"))
+
+    def _collect_and_dispatch(self, first) -> None:
+        items = [first]
+        max_b = self.scfg.buckets[-1]
+        deadline = time.monotonic() + self.scfg.max_wait_ms / 1e3
+        while len(items) < max_b:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        self._dispatch(items)
 
     def _dispatch(self, items: list) -> None:
         n = len(items)
@@ -241,8 +288,7 @@ class CaptionService:
             with self._lock:
                 self._stats["errors"] += n
             for _, fut, _ in items:
-                if not fut.done():
-                    fut.set_exception(e)
+                _safe_set(fut, exc=e)
             return
         with self._lock:
             self._stats["requests"] += n
@@ -253,14 +299,15 @@ class CaptionService:
                 (now - t_in) * 1e3 for _, _, t_in in items)
             self._stats["decode_ms_sum"] += decode_ms
         for res, (_, fut, _) in zip(results, items):
-            if not fut.done():
-                fut.set_result(res)
+            _safe_set(fut, result=res)
 
     def _decode_rows(self, rows: list[dict], bucket: int | None = None
                      ) -> list[dict]:
         """Stack sample rows, pad to `bucket` by repeating row 0 (results for
         pad rows are sliced off — beam decode is row-independent so padding
-        cannot perturb real rows), run one jitted search."""
+        cannot perturb real rows), run one jitted search. Holds _device_lock:
+        precompile() (caller thread) and the batcher must never issue device
+        work concurrently."""
         import jax.numpy as jnp
 
         from vacnic_tpu.infer.generate import generate_mm_robust
@@ -277,24 +324,26 @@ class CaptionService:
                 stacked = np.concatenate([stacked, pad], axis=0)
             batch[key] = jnp.asarray(stacked)
 
-        if self.scfg.input_kind == "pixels":
-            _, img_cls = clip_vision_fwd(self.params["clip"], batch["pixels"],
-                                         self.cfg.clip, self._dtype)
-        else:
-            img_cls = batch["image_cls"]
-        kwargs = {}
-        if not self.cfg.fusion.only_image:
-            kwargs = dict(
-                face_features=batch["face_emb"],
-                face_mask=face_mask_from_emb(batch["face_emb"]),
-                name_ids=batch["names_art_ids"],
-                name_mask=create_mask(batch["names_art_ids"]),
-            )
-        src = batch["article_ids"]
-        seqs, scores = generate_mm_robust(
-            self.params["model"], src, create_mask(src), img_cls,
-            self.cfg.bart, self.cfg.fusion, self.cfg.decode,
-            dtype=self._dtype, **kwargs)
+        with self._device_lock:
+            if self.scfg.input_kind == "pixels":
+                _, img_cls = clip_vision_fwd(self.params["clip"],
+                                             batch["pixels"],
+                                             self.cfg.clip, self._dtype)
+            else:
+                img_cls = batch["image_cls"]
+            kwargs = {}
+            if not self.cfg.fusion.only_image:
+                kwargs = dict(
+                    face_features=batch["face_emb"],
+                    face_mask=face_mask_from_emb(batch["face_emb"]),
+                    name_ids=batch["names_art_ids"],
+                    name_mask=create_mask(batch["names_art_ids"]),
+                )
+            src = batch["article_ids"]
+            seqs, scores = generate_mm_robust(
+                self.params["model"], src, create_mask(src), img_cls,
+                self.cfg.bart, self.cfg.fusion, self.cfg.decode,
+                dtype=self._dtype, **kwargs)
         seqs = np.asarray(seqs)[:n]
         scores = np.asarray(scores)[:n]
         out = []
@@ -334,7 +383,9 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
 
         def do_GET(self):  # noqa: N802 (stdlib handler naming)
             if self.path == "/healthz":
-                self._send(200, {"ok": True})
+                alive = (not service._closed.is_set()
+                         and service._worker.is_alive())
+                self._send(200 if alive else 503, {"ok": alive})
             elif self.path == "/v1/stats":
                 self._send(200, service.stats())
             else:
@@ -348,11 +399,19 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
                 length = int(self.headers.get("Content-Length", "0"))
                 sample = json.loads(self.rfile.read(length) or b"{}")
                 fut = service.submit(sample)
-            except (ValueError, RuntimeError) as e:
+            except ValueError as e:  # malformed sample → client error
                 self._send(400, {"error": str(e)})
+                return
+            except RuntimeError as e:  # queue full / closed → retryable
+                self._send(503, {"error": str(e)})
                 return
             try:
                 self._send(200, fut.result())
+            except RuntimeError as e:
+                if str(e) == "service closed":  # retryable elsewhere
+                    self._send(503, {"error": str(e)})
+                else:  # decode-side failure
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # decode-side failure
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

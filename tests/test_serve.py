@@ -271,3 +271,47 @@ def test_precompile_warms_buckets(setup):
         assert warm_s < 5.0
     finally:
         svc.close()
+
+
+def test_sharded_service_exact_vs_direct(setup):
+    """Multi-chip serving: a CaptionService over an 8-way data mesh must
+    return the same tokens/scores as the direct single-program decode of the
+    identical padded batch (beam search is per-row independent; shard_map
+    only scatters the batch — infer/generate.generate_mm_sharded)."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, params = setup
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = Mesh(np.asarray(devices[:8]).reshape(8, 1), ("data", "model"))
+    rows = _rows(cfg, 5, seed=11)  # 5 requests pad to the 8-bucket
+    svc = CaptionService(cfg, params, mesh=mesh,
+                         serve_cfg=ServeConfig(buckets=(8,), max_wait_ms=5000))
+    try:
+        futs = [svc.submit(r) for r in rows]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        svc.close()
+    padded = rows + [rows[0]] * 3  # the service pads by repeating row 0
+    seqs, scores = _direct(cfg, params, padded)
+    for i, res in enumerate(results):
+        assert res["tokens"] == [int(t) for t in seqs[i]]
+        assert res["score"] == pytest.approx(float(scores[i]), rel=1e-5)
+    st = svc.stats()
+    assert st["requests"] == 5 and st["padded_rows"] == 3
+
+
+def test_sharded_bucket_divisibility_validated(setup):
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, params = setup
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = Mesh(np.asarray(devices[:8]).reshape(8, 1), ("data", "model"))
+    with pytest.raises(ValueError, match="not divisible"):
+        CaptionService(cfg, params, mesh=mesh,
+                       serve_cfg=ServeConfig(buckets=(1, 8)))

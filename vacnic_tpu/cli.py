@@ -398,7 +398,18 @@ def cmd_serve(args) -> int:
         max_wait_ms=args.max_wait_ms,
         input_kind=args.input_kind,
     )
-    service = CaptionService(cfg, params, tokenizer=tokenizer, serve_cfg=scfg)
+    mesh = None
+    if args.sharded:
+        import jax
+
+        from vacnic_tpu.core.config import MeshConfig
+        from vacnic_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(), devices=jax.devices())
+        print(f"sharded serving over {len(jax.devices())} devices "
+              f"(buckets must be divisible by the data axis)", file=sys.stderr)
+    service = CaptionService(cfg, params, tokenizer=tokenizer, serve_cfg=scfg,
+                             mesh=mesh)
     if not args.no_precompile:
         print(f"precompiling buckets {scfg.buckets} ...", file=sys.stderr)
         service.precompile()
@@ -618,6 +629,9 @@ def main(argv=None) -> int:
                     help="batcher hold time for incomplete batches (latency/throughput dial)")
     sp.add_argument("--input-kind", choices=["image_cls", "pixels"], default="image_cls")
     sp.add_argument("--no-precompile", action="store_true")
+    sp.add_argument("--sharded", action="store_true",
+                    help="data-parallel serving over all visible devices "
+                         "(every bucket must be divisible by the data axis)")
     sp.add_argument("--set", action="append", metavar="sec.field=val")
     sp.set_defaults(fn=cmd_serve)
 

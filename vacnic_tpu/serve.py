@@ -91,13 +91,22 @@ class CaptionService:
     """
 
     def __init__(self, cfg: VacnicConfig, params: dict, *,
-                 tokenizer=None, serve_cfg: ServeConfig | None = None):
+                 tokenizer=None, serve_cfg: ServeConfig | None = None,
+                 mesh=None, data_axis: str = "data"):
         import jax.numpy as jnp
 
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.scfg = serve_cfg or ServeConfig()
+        # Multi-chip serving: with a Mesh the batcher dispatches each bucket
+        # through generate_mm_sharded (shard_map over `data_axis`, params
+        # replicated, batch scattered once — infer/generate.py). Beam decode
+        # is per-row independent, so data-parallel serving returns the same
+        # tokens as single-chip; every bucket must be divisible by the
+        # data-axis size so shards are static-shaped.
+        self.mesh = mesh
+        self.data_axis = data_axis
         if not self.scfg.buckets or list(self.scfg.buckets) != sorted(
                 set(self.scfg.buckets)):
             raise ValueError(f"buckets must be ascending and unique, got "
@@ -105,6 +114,13 @@ class CaptionService:
         if self.scfg.buckets[0] < 1:
             raise ValueError(f"buckets must be positive, got "
                              f"{self.scfg.buckets}")
+        if mesh is not None:
+            dp = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+            bad = [b for b in self.scfg.buckets if b % dp]
+            if bad:
+                raise ValueError(
+                    f"sharded serving: buckets {bad} not divisible by the "
+                    f"{data_axis!r} mesh axis ({dp} devices)")
         if self.scfg.input_kind not in ("image_cls", "pixels"):
             raise ValueError(f"unknown input_kind {self.scfg.input_kind!r}")
         self._dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
@@ -310,7 +326,8 @@ class CaptionService:
         work concurrently."""
         import jax.numpy as jnp
 
-        from vacnic_tpu.infer.generate import generate_mm_robust
+        from vacnic_tpu.infer.generate import (generate_mm_robust,
+                                               generate_mm_sharded)
         from vacnic_tpu.models.clip_vit import clip_vision_fwd
         from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
 
@@ -340,10 +357,16 @@ class CaptionService:
                     name_mask=create_mask(batch["names_art_ids"]),
                 )
             src = batch["article_ids"]
-            seqs, scores = generate_mm_robust(
-                self.params["model"], src, create_mask(src), img_cls,
-                self.cfg.bart, self.cfg.fusion, self.cfg.decode,
-                dtype=self._dtype, **kwargs)
+            if self.mesh is not None:
+                seqs, scores = generate_mm_sharded(
+                    self.mesh, self.params["model"], src, create_mask(src),
+                    img_cls, self.cfg.bart, self.cfg.fusion, self.cfg.decode,
+                    dtype=self._dtype, data_axis=self.data_axis, **kwargs)
+            else:
+                seqs, scores = generate_mm_robust(
+                    self.params["model"], src, create_mask(src), img_cls,
+                    self.cfg.bart, self.cfg.fusion, self.cfg.decode,
+                    dtype=self._dtype, **kwargs)
         seqs = np.asarray(seqs)[:n]
         scores = np.asarray(scores)[:n]
         out = []

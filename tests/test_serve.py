@@ -84,6 +84,9 @@ def test_full_bucket_exact_vs_direct(setup):
     st = svc.stats()
     assert st["requests"] == 4 and st["batches"] == 1
     assert st["bucket_counts"][4] == 1 and st["padded_rows"] == 0
+    # end-to-end latency percentiles over the resolved requests
+    assert st["latency_p50_ms"] > 0
+    assert st["latency_p50_ms"] <= st["latency_p95_ms"] <= st["latency_p99_ms"]
 
 
 def test_padded_bucket_exact(setup):

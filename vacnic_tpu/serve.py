@@ -137,6 +137,10 @@ class CaptionService:
             "bucket_counts": {int(b): 0 for b in self.scfg.buckets},
             "wait_ms_sum": 0.0, "decode_ms_sum": 0.0,
         }
+        # per-request end-to-end latency (submit -> future resolved), bounded
+        # ring so stats() can report percentiles without unbounded growth
+        self._lat_ring: list[float] = []
+        self._lat_ring_cap = 4096
         self._expected = self._expected_shapes()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="vacnic-serve-batcher")
@@ -214,6 +218,11 @@ class CaptionService:
         s["mean_wait_ms"] = s.pop("wait_ms_sum") / max(1, s["requests"])
         s["mean_decode_ms"] = s.pop("decode_ms_sum") / n
         s["queue_depth"] = self._q.qsize()
+        with self._lock:
+            lat = np.asarray(self._lat_ring[-self._lat_ring_cap:])
+        if lat.size:  # end-to-end latency percentiles (last ≤4096 requests)
+            for p in (50, 95, 99):
+                s[f"latency_p{p}_ms"] = round(float(np.percentile(lat, p)), 1)
         return s
 
     def close(self, timeout: float = 30.0) -> None:
@@ -306,6 +315,7 @@ class CaptionService:
             for _, fut, _ in items:
                 _safe_set(fut, exc=e)
             return
+        done = time.monotonic()
         with self._lock:
             self._stats["requests"] += n
             self._stats["batches"] += 1
@@ -314,6 +324,9 @@ class CaptionService:
             self._stats["wait_ms_sum"] += sum(
                 (now - t_in) * 1e3 for _, _, t_in in items)
             self._stats["decode_ms_sum"] += decode_ms
+            self._lat_ring.extend((done - t_in) * 1e3 for _, _, t_in in items)
+            if len(self._lat_ring) > self._lat_ring_cap:
+                del self._lat_ring[:len(self._lat_ring) - self._lat_ring_cap]
         for res, (_, fut, _) in zip(results, items):
             _safe_set(fut, result=res)
 

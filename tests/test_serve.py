@@ -318,3 +318,41 @@ def test_sharded_bucket_divisibility_validated(setup):
     with pytest.raises(ValueError, match="not divisible"):
         CaptionService(cfg, params, mesh=mesh,
                        serve_cfg=ServeConfig(buckets=(1, 8)))
+
+
+def test_pixels_input_kind_exact_vs_direct(setup):
+    """input_kind='pixels': the service runs the CLIP tower inside the batch
+    program; results must match running clip_vision_fwd + the same generate
+    path directly on the identical stacked batch."""
+    import jax.numpy as jnp
+
+    from vacnic_tpu.infer.generate import generate_mm_robust
+    from vacnic_tpu.models.clip_vit import clip_vision_fwd
+    from vacnic_tpu.train.train_step import create_mask, face_mask_from_emb
+
+    cfg, params = setup
+    batch = synthetic_batch(cfg, 2, seed=21, with_pixels=True)
+    keys = ("article_ids", "pixels", "face_emb", "names_art_ids")
+    rows = [{k: np.asarray(batch[k][i]) for k in keys} for i in range(2)]
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(2,), max_wait_ms=5000,
+                                               input_kind="pixels"))
+    try:
+        futs = [svc.submit(r) for r in rows]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        svc.close()
+
+    px = jnp.asarray(np.stack([r["pixels"] for r in rows]))
+    _, img_cls = clip_vision_fwd(params["clip"], px, cfg.clip, jnp.float32)
+    ids = jnp.asarray(np.stack([r["article_ids"] for r in rows]))
+    faces = jnp.asarray(np.stack([r["face_emb"] for r in rows]))
+    names = jnp.asarray(np.stack([r["names_art_ids"] for r in rows]))
+    seqs, scores = generate_mm_robust(
+        params["model"], ids, create_mask(ids), img_cls,
+        cfg.bart, cfg.fusion, cfg.decode,
+        face_features=faces, face_mask=face_mask_from_emb(faces),
+        name_ids=names, name_mask=create_mask(names), dtype=jnp.float32)
+    for i, res in enumerate(results):
+        assert res["tokens"] == [int(t) for t in np.asarray(seqs[i])]
+        assert res["score"] == pytest.approx(float(np.asarray(scores[i])))

@@ -356,3 +356,44 @@ def test_pixels_input_kind_exact_vs_direct(setup):
     for i, res in enumerate(results):
         assert res["tokens"] == [int(t) for t in np.asarray(seqs[i])]
         assert res["score"] == pytest.approx(float(np.asarray(scores[i])))
+
+
+def test_deadline_sheds_stale_requests(setup):
+    """A past-deadline request is failed fast (TimeoutError) at batch-form
+    time and does NOT occupy a decode slot; a live request in the same
+    collected batch still decodes exactly."""
+    cfg, params = setup
+    rows = _rows(cfg, 2, seed=31)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(2,), max_wait_ms=800))
+    try:
+        stale = svc.submit(rows[0], deadline_ms=0)
+        time.sleep(0.05)  # let the deadline pass while the batcher holds
+        live = svc.submit(rows[1])
+        with pytest.raises(TimeoutError, match="deadline exceeded"):
+            stale.result(timeout=300)
+        res = live.result(timeout=300)
+    finally:
+        svc.close()
+    # the live row becomes row 0 of the padded bucket (pad = repeat row 0)
+    seqs, _ = _direct(cfg, params, [rows[1], rows[1]])
+    assert res["tokens"] == [int(t) for t in seqs[0]]
+    st = svc.stats()
+    assert st["expired"] == 1 and st["requests"] == 1
+
+
+def test_deadline_all_expired_skips_decode(setup):
+    cfg, params = setup
+    (row,) = _rows(cfg, 1, seed=32)
+    svc = CaptionService(
+        cfg, params,
+        serve_cfg=ServeConfig(buckets=(2,), max_wait_ms=100,
+                              default_deadline_ms=0))
+    try:
+        fut = svc.submit(row)  # default deadline from config
+        with pytest.raises(TimeoutError):
+            fut.result(timeout=60)
+        st = svc.stats()
+        assert st["expired"] == 1 and st["batches"] == 0
+    finally:
+        svc.close()

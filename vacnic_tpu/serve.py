@@ -74,12 +74,18 @@ class ServeConfig:
     input_kind: "image_cls" (precomputed CLIP CLS features, the loader
         contract) or "pixels" (raw normalized images; the service runs the
         CLIP tower inside the same batch program).
+    default_deadline_ms: if set, every request gets this deadline unless
+        submit() passes its own; a request whose deadline has passed when
+        its batch is formed is failed fast (TimeoutError on the future)
+        instead of occupying a decode slot — under overload the queue sheds
+        stale work instead of decoding captions nobody is waiting for.
     """
 
     buckets: tuple[int, ...] = (1, 8, 32, 256)
     max_wait_ms: float = 10.0
     max_queue: int = 4096
     input_kind: str = "image_cls"
+    default_deadline_ms: float | None = None
 
 
 class CaptionService:
@@ -134,6 +140,7 @@ class CaptionService:
         self._device_lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "padded_rows": 0, "errors": 0,
+            "expired": 0,
             "bucket_counts": {int(b): 0 for b in self.scfg.buckets},
             "wait_ms_sum": 0.0, "decode_ms_sum": 0.0,
         }
@@ -163,11 +170,16 @@ class CaptionService:
             exp["names_art_ids"] = ((f.max_ner_type_len,), np.int32)
         return exp
 
-    def submit(self, sample: dict[str, Any]) -> Future:
+    def submit(self, sample: dict[str, Any], *,
+               deadline_ms: float | None = None) -> Future:
         """Enqueue one request. `sample` holds per-sample arrays (no batch
         dim) matching the §2.4 contract: article_ids, image_cls|pixels, and
         (full model) face_emb + names_art_ids. Returns a Future resolving to
         {"tokens": list[int], "score": float, "caption": str|None}.
+
+        `deadline_ms` (else ServeConfig.default_deadline_ms) bounds how stale
+        the request may be when its batch forms: past-deadline requests fail
+        fast with TimeoutError instead of occupying a decode slot.
 
         Raises immediately (not via the future) on a malformed sample or a
         full queue, so bad input never ties up the batcher."""
@@ -193,8 +205,12 @@ class CaptionService:
         if extra:
             raise ValueError(f"unexpected sample keys: {sorted(extra)}")
         fut: Future = Future()
+        dl_ms = (deadline_ms if deadline_ms is not None
+                 else self.scfg.default_deadline_ms)
+        deadline = (time.monotonic() + dl_ms / 1e3
+                    if dl_ms is not None else None)
         try:
-            self._q.put_nowait((clean, fut, time.monotonic()))
+            self._q.put_nowait((clean, fut, time.monotonic(), deadline))
         except queue.Full:
             raise RuntimeError(
                 f"serve queue full ({self.scfg.max_queue}); retry later")
@@ -301,10 +317,22 @@ class CaptionService:
         self._dispatch(items)
 
     def _dispatch(self, items: list) -> None:
+        now = time.monotonic()
+        # deadline shed: fail stale requests before they occupy decode slots
+        expired = [it for it in items if it[3] is not None and now > it[3]]
+        if expired:
+            with self._lock:
+                self._stats["expired"] += len(expired)
+            for _, fut, t_in, dl in expired:
+                _safe_set(fut, exc=TimeoutError(
+                    f"request deadline exceeded before dispatch "
+                    f"(waited {(now - t_in) * 1e3:.0f} ms)"))
+            items = [it for it in items if it[3] is None or now <= it[3]]
+            if not items:
+                return
         n = len(items)
         bucket = next((b for b in self.scfg.buckets if b >= n),
                       self.scfg.buckets[-1])
-        now = time.monotonic()
         try:
             t0 = time.monotonic()
             results = self._decode_rows([it[0] for it in items], bucket=bucket)
@@ -312,7 +340,7 @@ class CaptionService:
         except Exception as e:  # surface to every caller in the batch
             with self._lock:
                 self._stats["errors"] += n
-            for _, fut, _ in items:
+            for _, fut, *_ in items:
                 _safe_set(fut, exc=e)
             return
         done = time.monotonic()
@@ -322,12 +350,12 @@ class CaptionService:
             self._stats["padded_rows"] += bucket - n
             self._stats["bucket_counts"][int(bucket)] += 1
             self._stats["wait_ms_sum"] += sum(
-                (now - t_in) * 1e3 for _, _, t_in in items)
+                (now - t_in) * 1e3 for _, _, t_in, _dl in items)
             self._stats["decode_ms_sum"] += decode_ms
-            self._lat_ring.extend((done - t_in) * 1e3 for _, _, t_in in items)
+            self._lat_ring.extend((done - t_in) * 1e3 for _, _, t_in, _dl in items)
             if len(self._lat_ring) > self._lat_ring_cap:
                 del self._lat_ring[:len(self._lat_ring) - self._lat_ring_cap]
-        for res, (_, fut, _) in zip(results, items):
+        for res, (_, fut, *_) in zip(results, items):
             _safe_set(fut, result=res)
 
     def _decode_rows(self, rows: list[dict], bucket: int | None = None
@@ -434,7 +462,9 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 sample = json.loads(self.rfile.read(length) or b"{}")
-                fut = service.submit(sample)
+                dl = (sample.pop("deadline_ms", None)
+                      if isinstance(sample, dict) else None)
+                fut = service.submit(sample, deadline_ms=dl)
             except ValueError as e:  # malformed sample → client error
                 self._send(400, {"error": str(e)})
                 return
@@ -443,6 +473,8 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
                 return
             try:
                 self._send(200, fut.result())
+            except TimeoutError as e:  # deadline shed → gateway timeout
+                self._send(504, {"error": str(e)})
             except RuntimeError as e:
                 if str(e) == "service closed":  # retryable elsewhere
                     self._send(503, {"error": str(e)})

@@ -397,3 +397,30 @@ def test_deadline_all_expired_skips_decode(setup):
         assert st["expired"] == 1 and st["batches"] == 0
     finally:
         svc.close()
+
+
+def test_update_params_hot_swap(setup):
+    """Weight hot-swap: after update_params, the same request decodes with
+    the NEW weights (compare vs direct decode under each param set), with no
+    service restart; stats track the weights version."""
+    import jax
+
+    from vacnic_tpu.models import fusion as F
+
+    cfg, params = setup
+    params_b = {"model": F.multimodal_bart_init(
+        jax.random.PRNGKey(99), cfg.bart, cfg.fusion)}
+    rows = _rows(cfg, 1, seed=41)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1,), max_wait_ms=1))
+    try:
+        res_a = svc.caption(rows[0], timeout=300)
+        v = svc.update_params(params_b)
+        assert v == 1 and svc.stats()["weights_version"] == 1
+        res_b = svc.caption(rows[0], timeout=300)
+    finally:
+        svc.close()
+    seqs_a, _ = _direct(cfg, params, rows)
+    seqs_b, _ = _direct(cfg, params_b, rows)
+    assert res_a["tokens"] == [int(t) for t in seqs_a[0]]
+    assert res_b["tokens"] == [int(t) for t in seqs_b[0]]

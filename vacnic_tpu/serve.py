@@ -140,7 +140,7 @@ class CaptionService:
         self._device_lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "padded_rows": 0, "errors": 0,
-            "expired": 0,
+            "expired": 0, "weights_version": 0,
             "bucket_counts": {int(b): 0 for b in self.scfg.buckets},
             "wait_ms_sum": 0.0, "decode_ms_sum": 0.0,
         }
@@ -225,6 +225,20 @@ class CaptionService:
     def caption(self, sample: dict[str, Any], timeout: float | None = None):
         """Blocking convenience wrapper around submit()."""
         return self.submit(sample).result(timeout=timeout)
+
+    def update_params(self, params: dict) -> int:
+        """Hot-swap model weights without restarting the service (checkpoint
+        rollout). Swaps under the device lock, so it lands between batch
+        dispatches — in-flight batches finish on the old weights, every later
+        batch uses the new ones. The compiled programs are reused as-is (XLA
+        executables depend on shapes/dtypes, not values), so the swap costs
+        one host->device transfer, no recompile. Returns the new weights
+        version (also reported by stats())."""
+        with self._device_lock:
+            self.params = params
+            with self._lock:
+                self._stats["weights_version"] += 1
+                return self._stats["weights_version"]
 
     def stats(self) -> dict:
         with self._lock:

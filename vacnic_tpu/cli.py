@@ -397,6 +397,7 @@ def cmd_serve(args) -> int:
         buckets=tuple(int(b) for b in args.buckets.split(",")),
         max_wait_ms=args.max_wait_ms,
         input_kind=args.input_kind,
+        default_deadline_ms=args.default_deadline_ms,
     )
     mesh = None
     if args.sharded:
@@ -628,6 +629,9 @@ def main(argv=None) -> int:
     sp.add_argument("--max-wait-ms", type=float, default=10.0,
                     help="batcher hold time for incomplete batches (latency/throughput dial)")
     sp.add_argument("--input-kind", choices=["image_cls", "pixels"], default="image_cls")
+    sp.add_argument("--default-deadline-ms", type=float, default=None,
+                    help="shed requests older than this at batch-form time "
+                         "(504 over HTTP); per-request deadline_ms overrides")
     sp.add_argument("--no-precompile", action="store_true")
     sp.add_argument("--sharded", action="store_true",
                     help="data-parallel serving over all visible devices "

@@ -76,7 +76,10 @@ def _orchestrate() -> None:
     diagnostic JSON on hard failure. The child re-enters this file with
     BENCH_INNER=1 and prints the real JSON line, which is re-printed here."""
     tries = int(os.environ.get("BENCH_PREFLIGHT_TRIES", "3"))
-    pf_timeout = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "150"))
+    # 240 s: remote-compile latency is erratic (45 s - 10+ min per program,
+    # CLAUDE.md) and the persistent cache may be empty on a fresh round
+    # workdir — 150 s false-flagged a merely-slow window as "hung"
+    pf_timeout = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "240"))
     run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT", "2400"))
     sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "90"))
     last_err = "no attempt ran"

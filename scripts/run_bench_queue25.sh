@@ -15,5 +15,7 @@ run() {
   timeout "$to" "$@" >> "$LOG" 2>&1
   echo "=== $name rc=$? end $(date +%H:%M:%S) ===" >> "$LOG"
 }
-run bench_retry 3600 env BENCH_PREFLIGHT_TRIES=4 BENCH_RETRY_SLEEP=180 python bench.py
+# 4500 s outer bound > worst-case retry budget (4 preflights x 240 s +
+# 3 sleeps x 180 s + one 2400 s measurement = 3900 s)
+run bench_retry 4500 env BENCH_PREFLIGHT_TRIES=4 BENCH_RETRY_SLEEP=180 python bench.py
 echo ALL_DONE_QUEUE25 >> "$LOG"

@@ -409,7 +409,8 @@ def test_update_params_hot_swap(setup):
 
     cfg, params = setup
     params_b = {"model": F.multimodal_bart_init(
-        jax.random.PRNGKey(99), cfg.bart, cfg.fusion)}
+        jax.random.PRNGKey(99), cfg.bart, cfg.fusion),
+        "clip": params["clip"]}  # same tree structure as the served params
     rows = _rows(cfg, 1, seed=41)
     svc = CaptionService(cfg, params,
                          serve_cfg=ServeConfig(buckets=(1,), max_wait_ms=1))
@@ -424,3 +425,38 @@ def test_update_params_hot_swap(setup):
     seqs_b, _ = _direct(cfg, params_b, rows)
     assert res_a["tokens"] == [int(t) for t in seqs_a[0]]
     assert res_b["tokens"] == [int(t) for t in seqs_b[0]]
+
+
+def test_deadline_bad_type_is_value_error(setup):
+    """Untrusted HTTP input: a non-numeric deadline_ms must surface as
+    ValueError (HTTP 400), not a TypeError escaping the handler."""
+    cfg, params = setup
+    svc = CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(1,)))
+    try:
+        (row,) = _rows(cfg, 1)
+        with pytest.raises(ValueError, match="deadline_ms"):
+            svc.submit(row, deadline_ms=[100])
+        with pytest.raises(ValueError, match="deadline_ms"):
+            svc.submit(row, deadline_ms="soon")
+    finally:
+        svc.close()
+
+
+def test_update_params_rejects_mismatched_tree(setup):
+    """Hot-swap validation: structure or shape/dtype mismatches fail fast
+    instead of breaking the zero-recompile contract mid-serving."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    svc = CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(1,)))
+    try:
+        with pytest.raises(ValueError, match="structure"):
+            svc.update_params({"model": {"nothing": np.zeros(3)}})
+        wrong_dtype = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
+        with pytest.raises(ValueError, match="dtype"):
+            svc.update_params(wrong_dtype)
+        assert svc.stats()["weights_version"] == 0  # nothing swapped
+    finally:
+        svc.close()

@@ -350,17 +350,26 @@ def cmd_generate(args) -> int:
         data_dict = json.load(f)
     mesh = None
     if getattr(args, "sharded", False):
-        from vacnic_tpu.core.config import MeshConfig
-        from vacnic_tpu.core.mesh import make_mesh
-
-        mesh = make_mesh(MeshConfig(), devices=jax.devices())
-        print(f"sharded decode over {len(jax.devices())} devices", file=sys.stderr)
+        mesh = _sharded_decode_mesh("decode")
 
     (loader,) = _make_loaders(cfg, tokenizer, [(args.data_dict, False)])
     out = generate_captions(cfg, gen_params, loader, tokenizer,
                             out_path=args.out, mesh=mesh)
     print(json.dumps({k: out[k] for k in ("bleu", "other metrics") if k in out}))
     return 0
+
+
+def _sharded_decode_mesh(what: str):
+    """Data-parallel mesh over all visible devices (shared by the --sharded
+    paths of cmd_generate and cmd_serve)."""
+    import jax
+
+    from vacnic_tpu.core.config import MeshConfig
+    from vacnic_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(), devices=jax.devices())
+    print(f"sharded {what} over {len(jax.devices())} devices", file=sys.stderr)
+    return mesh
 
 
 def cmd_serve(args) -> int:
@@ -393,22 +402,26 @@ def cmd_serve(args) -> int:
         tokenizer.add_special_tokens(
             ["<ENT>", "<NONAME>", "<PERSON>", "<ORGNORP>", "<GPELOC>"])
 
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    mesh = None
+    if args.sharded:
+        mesh = _sharded_decode_mesh("serving")
+        # round buckets up to data-axis multiples so the documented default
+        # ladder (1,8,32) starts on any device count instead of failing
+        # CaptionService's divisibility check
+        dp = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+        rounded = tuple(sorted({-(-b // dp) * dp for b in buckets}))
+        if rounded != buckets:
+            print(f"buckets {list(buckets)} -> {list(rounded)} "
+                  f"(rounded up to multiples of the {dp}-way data axis)",
+                  file=sys.stderr)
+            buckets = rounded
     scfg = ServeConfig(
-        buckets=tuple(int(b) for b in args.buckets.split(",")),
+        buckets=buckets,
         max_wait_ms=args.max_wait_ms,
         input_kind=args.input_kind,
         default_deadline_ms=args.default_deadline_ms,
     )
-    mesh = None
-    if args.sharded:
-        import jax
-
-        from vacnic_tpu.core.config import MeshConfig
-        from vacnic_tpu.core.mesh import make_mesh
-
-        mesh = make_mesh(MeshConfig(), devices=jax.devices())
-        print(f"sharded serving over {len(jax.devices())} devices "
-              f"(buckets must be divisible by the data axis)", file=sys.stderr)
     service = CaptionService(cfg, params, tokenizer=tokenizer, serve_cfg=scfg,
                              mesh=mesh)
     if not args.no_precompile:

@@ -33,6 +33,7 @@ in for a real RPC layer without adding dependencies.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import json
 import queue
@@ -121,7 +122,11 @@ class CaptionService:
             raise ValueError(f"buckets must be positive, got "
                              f"{self.scfg.buckets}")
         if mesh is not None:
-            dp = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if data_axis not in axes:
+                raise ValueError(f"mesh has no {data_axis!r} axis "
+                                 f"(axes: {sorted(axes)})")
+            dp = axes[data_axis]
             bad = [b for b in self.scfg.buckets if b % dp]
             if bad:
                 raise ValueError(
@@ -146,8 +151,7 @@ class CaptionService:
         }
         # per-request end-to-end latency (submit -> future resolved), bounded
         # ring so stats() can report percentiles without unbounded growth
-        self._lat_ring: list[float] = []
-        self._lat_ring_cap = 4096
+        self._lat_ring: collections.deque = collections.deque(maxlen=4096)
         self._expected = self._expected_shapes()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="vacnic-serve-batcher")
@@ -207,6 +211,12 @@ class CaptionService:
         fut: Future = Future()
         dl_ms = (deadline_ms if deadline_ms is not None
                  else self.scfg.default_deadline_ms)
+        if dl_ms is not None:
+            try:  # untrusted over HTTP: bool/str/list must be a 400, not a
+                # TypeError escaping the handler with a dropped connection
+                dl_ms = float(dl_ms)
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"deadline_ms: not a number ({e})") from e
         deadline = (time.monotonic() + dl_ms / 1e3
                     if dl_ms is not None else None)
         try:
@@ -233,7 +243,27 @@ class CaptionService:
         batch uses the new ones. The compiled programs are reused as-is (XLA
         executables depend on shapes/dtypes, not values), so the swap costs
         one host->device transfer, no recompile. Returns the new weights
-        version (also reported by stats())."""
+        version (also reported by stats()).
+
+        The new tree must match the old one in structure and leaf
+        shapes/dtypes — a mismatch would silently break the zero-recompile
+        contract (jit cache miss → minutes-long remote recompile per bucket
+        on this backend) or crash the batcher, so it fails fast here."""
+        import jax
+
+        old_leaves, old_def = jax.tree_util.tree_flatten(self.params)
+        new_leaves, new_def = jax.tree_util.tree_flatten(params)
+        if new_def != old_def:
+            raise ValueError(f"update_params: tree structure mismatch "
+                             f"(got {new_def}, serving {old_def})")
+        for i, (o, nw) in enumerate(zip(old_leaves, new_leaves)):
+            os_, ns = np.shape(o), np.shape(nw)
+            od = getattr(o, "dtype", None)
+            nd = getattr(nw, "dtype", None)
+            if os_ != ns or od != nd:
+                raise ValueError(
+                    f"update_params: leaf {i} mismatch "
+                    f"(shape {ns} vs {os_}, dtype {nd} vs {od})")
         with self._device_lock:
             self.params = params
             with self._lock:
@@ -249,7 +279,7 @@ class CaptionService:
         s["mean_decode_ms"] = s.pop("decode_ms_sum") / n
         s["queue_depth"] = self._q.qsize()
         with self._lock:
-            lat = np.asarray(self._lat_ring[-self._lat_ring_cap:])
+            lat = np.asarray(self._lat_ring)
         if lat.size:  # end-to-end latency percentiles (last ≤4096 requests)
             for p in (50, 95, 99):
                 s[f"latency_p{p}_ms"] = round(float(np.percentile(lat, p)), 1)
@@ -367,8 +397,6 @@ class CaptionService:
                 (now - t_in) * 1e3 for _, _, t_in, _dl in items)
             self._stats["decode_ms_sum"] += decode_ms
             self._lat_ring.extend((done - t_in) * 1e3 for _, _, t_in, _dl in items)
-            if len(self._lat_ring) > self._lat_ring_cap:
-                del self._lat_ring[:len(self._lat_ring) - self._lat_ring_cap]
         for res, (_, fut, *_) in zip(results, items):
             _safe_set(fut, result=res)
 

@@ -460,3 +460,26 @@ def test_update_params_rejects_mismatched_tree(setup):
         assert svc.stats()["weights_version"] == 0  # nothing swapped
     finally:
         svc.close()
+
+
+def test_defer_to_fill_avoids_padding(setup):
+    """9 requests into a (8, 32) ladder: instead of padding a 32-bucket with
+    23 dummy rows, the batcher dispatches one full 8-bucket and carries the
+    remainder into an immediately-following batch. All results stay exact."""
+    cfg, params = setup
+    rows = _rows(cfg, 9, seed=51)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(8, 32), max_wait_ms=500))
+    try:
+        futs = [svc.submit(r) for r in rows]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        svc.close()
+    st = svc.stats()
+    assert st["batches"] == 2 and st["bucket_counts"][8] == 2
+    assert st["deferred_rows"] == 1 and st["padded_rows"] == 7
+    seqs_a, _ = _direct(cfg, params, rows[:8])
+    seqs_b, _ = _direct(cfg, params, [rows[8]] * 8)  # pad = repeat row 0
+    for i in range(8):
+        assert results[i]["tokens"] == [int(t) for t in seqs_a[i]]
+    assert results[8]["tokens"] == [int(t) for t in seqs_b[0]]

@@ -483,3 +483,52 @@ def test_defer_to_fill_avoids_padding(setup):
     for i in range(8):
         assert results[i]["tokens"] == [int(t) for t in seqs_a[i]]
     assert results[8]["tokens"] == [int(t) for t in seqs_b[0]]
+
+
+def test_watch_checkpoints_hot_swaps_new_step(setup, monkeypatch):
+    """Checkpoint watcher: when the directory's latest step advances past
+    initial_step, load_params runs and the service hot-swaps; older/equal
+    steps and restore errors never swap or kill the watcher."""
+    import jax
+
+    import vacnic_tpu.train.checkpoints as C
+    from vacnic_tpu.models import fusion as F
+    from vacnic_tpu.serve import watch_checkpoints
+
+    cfg, params = setup
+    steps = [3, 3, 7]  # poll sequence: unchanged, unchanged, new step
+
+    class StubMgr:
+        def __init__(self, directory, *a, **k):
+            pass
+
+        def latest_step(self):
+            return steps.pop(0) if steps else 7
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(C, "CheckpointManager", StubMgr)
+    params_b = {"model": F.multimodal_bart_init(
+        jax.random.PRNGKey(5), cfg.bart, cfg.fusion),
+        "clip": params["clip"]}
+    loaded = []
+
+    def load_params(step):
+        loaded.append(step)
+        return params_b
+
+    svc = CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(1,)))
+    try:
+        th = watch_checkpoints(svc, "/nonexistent", load_params,
+                               poll_s=0.05, initial_step=3)
+        deadline = time.monotonic() + 10
+        while svc.stats()["weights_version"] == 0:
+            assert time.monotonic() < deadline, "watcher never swapped"
+            time.sleep(0.05)
+    finally:
+        svc.close()
+    assert loaded == [7]  # swapped exactly once, only for the NEW step
+    assert svc.params is params_b
+    th.join(timeout=5)
+    assert not th.is_alive()  # stops when the service closes

@@ -424,6 +424,24 @@ def cmd_serve(args) -> int:
     )
     service = CaptionService(cfg, params, tokenizer=tokenizer, serve_cfg=scfg,
                              mesh=mesh)
+    if args.watch_ckpt_s:
+        if not args.ckpt_dir:
+            print("serve: --watch-ckpt-s needs --ckpt-dir", file=sys.stderr)
+            service.close()
+            return 2
+        from vacnic_tpu.serve import watch_checkpoints
+        from vacnic_tpu.train.checkpoints import CheckpointManager
+
+        m = CheckpointManager(args.ckpt_dir)
+        initial = m.latest_step()
+        m.close()
+        watch_checkpoints(
+            service, args.ckpt_dir,
+            lambda step: _restore_gen_params(args.ckpt_dir, args.set)[1],
+            poll_s=args.watch_ckpt_s, initial_step=initial)
+        print(f"watching {args.ckpt_dir} for new checkpoints every "
+              f"{args.watch_ckpt_s:g}s (serving step {initial})",
+              file=sys.stderr)
     if not args.no_precompile:
         print(f"precompiling buckets {scfg.buckets} ...", file=sys.stderr)
         service.precompile()
@@ -642,6 +660,9 @@ def main(argv=None) -> int:
     sp.add_argument("--max-wait-ms", type=float, default=10.0,
                     help="batcher hold time for incomplete batches (latency/throughput dial)")
     sp.add_argument("--input-kind", choices=["image_cls", "pixels"], default="image_cls")
+    sp.add_argument("--watch-ckpt-s", type=float, default=None,
+                    help="poll --ckpt-dir every N seconds and hot-swap newer "
+                         "checkpoints into the running service")
     sp.add_argument("--default-deadline-ms", type=float, default=None,
                     help="shed requests older than this at batch-form time "
                          "(504 over HTTP); per-request deadline_ms overrides")

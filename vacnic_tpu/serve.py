@@ -505,6 +505,50 @@ class CaptionService:
         return out
 
 
+def watch_checkpoints(service: CaptionService, directory: str, load_params,
+                      *, poll_s: float = 30.0,
+                      initial_step: int | None = None) -> threading.Thread:
+    """Continuous checkpoint rollout: poll `directory` for a newer training
+    step and hot-swap its weights into the running service
+    (`CaptionService.update_params` — zero recompile, between batches).
+
+    `load_params(step) -> params` does the actual restore (the caller owns
+    the restore path and its config/overrides; cli serve passes its own).
+    `initial_step` is the step the service is already serving (newer steps
+    only trigger a swap); None means swap on the first checkpoint seen —
+    right for a --random-init service warming up while training runs.
+    The thread stops when the service closes; restore errors are logged and
+    retried next poll, never fatal to serving."""
+    import logging
+
+    log = logging.getLogger(__name__)
+
+    def loop() -> None:
+        from vacnic_tpu.train.checkpoints import CheckpointManager
+
+        last = initial_step
+        while not service._closed.wait(poll_s):
+            try:
+                mgr = CheckpointManager(directory)
+                try:
+                    step = mgr.latest_step()
+                finally:
+                    mgr.close()
+                if step is None or (last is not None and step <= last):
+                    continue
+                version = service.update_params(load_params(step))
+                last = step
+                log.info("serving weights hot-swapped to checkpoint step %d "
+                         "(weights_version %d)", step, version)
+            except Exception:
+                log.warning("checkpoint watch poll failed; retrying",
+                            exc_info=True)
+
+    t = threading.Thread(target=loop, daemon=True, name="vacnic-ckpt-watch")
+    t.start()
+    return t
+
+
 # ---------------------------------------------------------------------------
 # Minimal stdlib HTTP front-end
 # ---------------------------------------------------------------------------

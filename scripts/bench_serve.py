@@ -141,7 +141,10 @@ def main() -> None:
             f.result(timeout=600)
         span = time.perf_counter() - t0
         result["burst_throughput_cps"] = round(n_req / span, 1)
-        result["padded_rows_total"] = svc.stats()["padded_rows"]
+        st = svc.stats()
+        result["padded_rows_total"] = st["padded_rows"]
+        result["deferred_rows_total"] = st["deferred_rows"]
+        result["slots_total"] = sum(b * c for b, c in st["bucket_counts"].items())
         result["value"] = result["open_loop_p50_ms"]
     finally:
         svc.close()

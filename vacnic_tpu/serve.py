@@ -619,13 +619,28 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
 
 def http_serve(service: CaptionService, host: str = "127.0.0.1",
                port: int = 8500) -> None:
-    """Blocking HTTP serve loop (the `vacnic serve` CLI entry)."""
+    """Blocking HTTP serve loop (the `vacnic serve` CLI entry). SIGTERM
+    (the normal orchestrator stop signal) triggers the same graceful
+    shutdown as Ctrl-C: stop accepting, drain the batcher, close."""
+    import signal
+
     srv = make_http_server(service, host, port)
     print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]} "
           f"(buckets={service.scfg.buckets}, "
           f"max_wait_ms={service.scfg.max_wait_ms})")
+    prev = None
+    try:  # main thread only; http_serve from a helper thread skips this
+        # shutdown() blocks until serve_forever exits, and the handler runs
+        # ON the serve_forever thread — call it from a helper thread or the
+        # handler deadlocks against its own loop
+        prev = signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+            target=srv.shutdown, daemon=True).start())
+    except ValueError:
+        pass
     try:
         srv.serve_forever()
     finally:
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
         srv.server_close()
         service.close()

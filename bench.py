@@ -70,45 +70,72 @@ def _preflight(timeout_s: float) -> tuple[bool, str]:
     return True, ""
 
 
+def _try_measure(env: dict, run_timeout: float) -> tuple[str | None, str]:
+    """One bounded real-measurement attempt in a child process. Returns
+    (json_line, "") on success or (None, error)."""
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, cwd=_REPO, capture_output=True,
+                              text=True, timeout=run_timeout)
+    except subprocess.TimeoutExpired:
+        return None, f"measurement timed out after {run_timeout:.0f}s"
+    line = next((ln for ln in reversed(proc.stdout.splitlines())
+                 if ln.startswith("{")), None)
+    if proc.returncode == 0 and line:
+        return line, ""
+    return None, (f"measurement rc={proc.returncode}; stderr: "
+                  f"{proc.stderr[-800:]}")
+
+
 def _orchestrate() -> None:
-    """Outage-resilient wrapper: preflight the backend, run the measurement in
-    a bounded child process, retry across a short window, and emit a
-    diagnostic JSON on hard failure. The child re-enters this file with
+    """Outage-resilient wrapper: recovery-watcher loop (cheap preflight probe
+    every BENCH_RETRY_SLEEP seconds across a BENCH_MAX_WINDOW budget — the
+    CLAUDE.md compile-outage pattern), run the measurement in a bounded child
+    process when a probe succeeds, and emit a diagnostic JSON on hard failure.
+    The preflight is advisory, NOT a gate: it has false-flagged healthy
+    windows before (queue24: full programs compiled in 210 s while the
+    tiny-jit timed out at 150 s), so once the window/attempt budget is
+    exhausted without a successful probe the real measurement is attempted
+    anyway under BENCH_RUN_TIMEOUT. The child re-enters this file with
     BENCH_INNER=1 and prints the real JSON line, which is re-printed here."""
-    tries = int(os.environ.get("BENCH_PREFLIGHT_TRIES", "3"))
+    tries = int(os.environ.get("BENCH_PREFLIGHT_TRIES", "9"))
     # 240 s: remote-compile latency is erratic (45 s - 10+ min per program,
     # CLAUDE.md) and the persistent cache may be empty on a fresh round
     # workdir — 150 s false-flagged a merely-slow window as "hung"
     pf_timeout = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "240"))
     run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT", "2400"))
-    sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "90"))
+    sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "300"))
+    window_s = float(os.environ.get("BENCH_MAX_WINDOW", "2700"))
+    deadline = time.monotonic() + window_s
     last_err = "no attempt ran"
     env = dict(os.environ)
     env["BENCH_INNER"] = "1"
+    measured = False
     for attempt in range(tries):
         if attempt:
             time.sleep(sleep_s)
         ok, err = _preflight(pf_timeout)
-        if not ok:
-            last_err = err
-            sys.stderr.write(f"[bench] attempt {attempt + 1}/{tries}: {err}\n")
-            continue
-        try:
-            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                  env=env, cwd=_REPO, capture_output=True,
-                                  text=True, timeout=run_timeout)
-        except subprocess.TimeoutExpired:
-            last_err = f"measurement timed out after {run_timeout:.0f}s"
-            sys.stderr.write(f"[bench] attempt {attempt + 1}/{tries}: {last_err}\n")
-            continue
-        line = next((ln for ln in reversed(proc.stdout.splitlines())
-                     if ln.startswith("{")), None)
-        if proc.returncode == 0 and line:
+        if ok:
+            measured = True
+            line, err = _try_measure(env, run_timeout)
+            if line:
+                print(line)
+                return
+        last_err = err
+        sys.stderr.write(f"[bench] attempt {attempt + 1}/{tries}: {err}\n")
+        if time.monotonic() + sleep_s + pf_timeout >= deadline:
+            break
+    if not measured:
+        # every probe failed, but the preflight is a proven false gate —
+        # spend the remaining budget on one real attempt before giving up
+        sys.stderr.write("[bench] probe window exhausted; attempting the real "
+                         "measurement anyway (preflight is advisory)\n")
+        line, err = _try_measure(env, run_timeout)
+        if line:
             print(line)
             return
-        last_err = (f"measurement rc={proc.returncode}; stderr: "
-                    f"{proc.stderr[-800:]}")
-        sys.stderr.write(f"[bench] attempt {attempt + 1}/{tries}: {last_err}\n")
+        last_err = err
+        sys.stderr.write(f"[bench] final attempt: {err}\n")
     _diagnostic(last_err)
 
 

@@ -150,3 +150,56 @@ def test_cli_main_honors_env_platform(monkeypatch):
     with pytest.raises(SystemExit):  # bad subcommand — parse happens AFTER
         cli_main(["no-such-command"])
     assert ("jax_platforms", "cpu") in calls
+
+
+def test_prune_to_structure():
+    """Watcher restore normalization (ADVICE r4 #2): extra checkpoint
+    subtrees are dropped, lists are coerced to the served tuple containers,
+    and a checkpoint MISSING a served subtree fails loudly."""
+    from vacnic_tpu.cli import _prune_to_structure
+
+    served = {"model": {"layers": ({"w": 1}, {"w": 2}), "emb": 3}, "clip": 4}
+    ckpt = {"model": {"layers": [{"w": 10, "junk": 0}, {"w": 20}],
+                      "emb": 30, "clip_text": {"tower": 9}},
+            "clip": 40, "extra": 5}
+    out = _prune_to_structure(ckpt, served)
+    assert out == {"model": {"layers": ({"w": 10}, {"w": 20}), "emb": 30},
+                   "clip": 40}
+    assert isinstance(out["model"]["layers"], tuple)
+    with pytest.raises(KeyError):
+        _prune_to_structure({"model": {}}, served)
+    with pytest.raises(ValueError, match="length"):
+        _prune_to_structure(
+            {"model": {"layers": [{"w": 1}], "emb": 3}, "clip": 4}, served)
+
+
+def test_restore_watch_params_raw_roundtrip(tmp_path):
+    """_restore_watch_params: template-free orbax restore of the requested
+    step, pruned to the served structure — no train-state template, no
+    device-side init work (ADVICE r4 #1)."""
+    import numpy as np
+
+    from vacnic_tpu.cli import _restore_watch_params
+    from vacnic_tpu.train.checkpoints import CheckpointManager
+
+    state = {"params": {"model": {"layers": [{"w": np.ones((2, 2))},
+                                             {"w": np.full((2, 2), 2.0)}]},
+                        "clip": {"p": np.zeros(3)},
+                        "clip_text": {"tower": np.zeros(1)}},
+             "opt": {"mu": np.zeros(4)}, "step": np.int32(7)}
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(7, state)
+    mgr.wait()
+    mgr.close()
+
+    served = {"model": {"layers": ({"w": np.zeros((2, 2))},
+                                   {"w": np.zeros((2, 2))})},
+              "clip": {"p": np.zeros(3)}}
+    got = _restore_watch_params(ckpt_dir, 7, served)
+    assert set(got) == {"model", "clip"}  # clip_text pruned
+    assert isinstance(got["model"]["layers"], tuple)
+    np.testing.assert_allclose(got["model"]["layers"][1]["w"],
+                               np.full((2, 2), 2.0))
+    with pytest.raises(Exception):
+        _restore_watch_params(ckpt_dir, 99, served)  # no such step

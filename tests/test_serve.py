@@ -532,3 +532,44 @@ def test_watch_checkpoints_hot_swaps_new_step(setup, monkeypatch):
     assert svc.params is params_b
     th.join(timeout=5)
     assert not th.is_alive()  # stops when the service closes
+
+
+def test_deadline_nan_is_value_error(setup):
+    """NaN passes float() but `now > NaN` is always False — a NaN deadline
+    would never expire, silently bypassing the shed policy (ADVICE r4 #3).
+    Non-finite values must be rejected like any other malformed input."""
+    cfg, params = setup
+    svc = CaptionService(cfg, params, serve_cfg=ServeConfig(buckets=(1,)))
+    try:
+        (row,) = _rows(cfg, 1)
+        for bad in (float("nan"), float("inf"), float("-inf"), "nan"):
+            with pytest.raises(ValueError, match="deadline_ms"):
+                svc.submit(row, deadline_ms=bad)
+    finally:
+        svc.close()
+
+
+def test_shed_runs_before_defer_split(setup):
+    """Expired rows must be shed BEFORE the defer-to-fill split (ADVICE r4
+    #4): 8 expired + 1 live into an (8, 32) ladder must dispatch the live
+    request in ONE batch — not defer it behind a dispatch of expired rows."""
+    cfg, params = setup
+    rows = _rows(cfg, 9, seed=61)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(8, 32), max_wait_ms=500))
+    try:
+        stale = [svc.submit(r, deadline_ms=0) for r in rows[:8]]
+        time.sleep(0.05)  # deadlines pass while the batcher collects
+        live = svc.submit(rows[8])
+        res = live.result(timeout=300)
+        for f in stale:
+            with pytest.raises(TimeoutError):
+                f.result(timeout=60)
+    finally:
+        svc.close()
+    st = svc.stats()
+    assert st["expired"] == 8 and st["requests"] == 1
+    # live request went out immediately in one 8-bucket; nothing deferred
+    assert st["batches"] == 1 and st["deferred_rows"] == 0
+    seqs, _ = _direct(cfg, params, [rows[8]] * 8)  # pad = repeat row 0
+    assert res["tokens"] == [int(t) for t in seqs[0]]

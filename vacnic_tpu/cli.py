@@ -372,6 +372,53 @@ def _sharded_decode_mesh(what: str):
     return mesh
 
 
+def _prune_to_structure(tree, template):
+    """Drop dict subtrees absent from `template` (e.g. params['clip_text']
+    written by a train.no_clip_loss=false run) so a raw-restored checkpoint
+    tree matches the structure the service is already serving — otherwise
+    CaptionService.update_params rejects every poll and the watcher serves
+    stale weights forever (ADVICE r4 #2). Raises KeyError when the template
+    needs a subtree the checkpoint lacks (a genuinely incompatible
+    checkpoint must fail loudly, not serve garbage)."""
+    if isinstance(template, dict):
+        return {k: _prune_to_structure(tree[k], v) for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        # orbax template-free restore can hand back lists where the served
+        # tree holds tuples (per-layer dicts live in tuples) — coerce to the
+        # served container type so update_params' treedef check passes
+        if len(tree) != len(template):
+            raise ValueError(f"checkpoint sequence length {len(tree)} != "
+                             f"served {len(template)}")
+        return type(template)(
+            _prune_to_structure(t, v) for t, v in zip(tree, template))
+    return tree
+
+
+def _restore_watch_params(ckpt_dir: str, step: int, served_params):
+    """Inference-only restore for the checkpoint-watch hot-swap path.
+
+    Unlike _restore_gen_params this does NO device work on the watcher
+    thread: no random init, no teacher build, no optimizer-state template —
+    just the template-free orbax read (host numpy arrays) of the requested
+    step, pruned to the served tree's structure. The device transfer happens
+    inside CaptionService.update_params / the next dispatch, both of which
+    hold the service device lock (ADVICE r4 #1: a full train-state template
+    restore on the watcher thread ran several GB of un-locked device work
+    next to live decode dispatches)."""
+    from vacnic_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir)
+    try:
+        raw, got = mgr.restore_raw(step)
+    finally:
+        mgr.close()
+    if raw is None:
+        raise RuntimeError(f"no checkpoint at step {step} in {ckpt_dir}")
+    tree = raw["params"] if isinstance(raw, dict) and "params" in raw else (
+        raw.params if hasattr(raw, "params") else raw)
+    return _prune_to_structure(tree, served_params)
+
+
 def cmd_serve(args) -> int:
     """Online caption serving: micro-batched beam decode behind an HTTP API
     (vacnic_tpu/serve.py). Beyond-reference surface — the reference only
@@ -437,7 +484,8 @@ def cmd_serve(args) -> int:
         m.close()
         watch_checkpoints(
             service, args.ckpt_dir,
-            lambda step: _restore_gen_params(args.ckpt_dir, args.set)[1],
+            lambda step: _restore_watch_params(args.ckpt_dir, step,
+                                               service.params),
             poll_s=args.watch_ckpt_s, initial_step=initial)
         print(f"watching {args.ckpt_dir} for new checkpoints every "
               f"{args.watch_ckpt_s:g}s (serving step {initial})",

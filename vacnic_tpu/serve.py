@@ -36,6 +36,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import json
+import math
 import queue
 import threading
 import time
@@ -217,6 +218,11 @@ class CaptionService:
                 dl_ms = float(dl_ms)
             except (TypeError, ValueError) as e:
                 raise ValueError(f"deadline_ms: not a number ({e})") from e
+            if not math.isfinite(dl_ms):
+                # NaN passes float() but `now > NaN` is always False — the
+                # request would get a deadline that never expires, silently
+                # bypassing the shed policy (and the configured default)
+                raise ValueError(f"deadline_ms: must be finite, got {dl_ms}")
         deadline = (time.monotonic() + dl_ms / 1e3
                     if dl_ms is not None else None)
         try:
@@ -379,6 +385,23 @@ class CaptionService:
             items.append(nxt)
         return items
 
+    def _shed_expired(self, items: list) -> list:
+        """Fail past-deadline requests fast (TimeoutError) and return only
+        live ones. Runs BEFORE the defer split so a live request is never
+        deferred behind a dispatch of mostly-expired rows and the bucket
+        choice reflects the rows that will actually decode."""
+        now = time.monotonic()
+        expired = [it for it in items if it[3] is not None and now > it[3]]
+        if not expired:
+            return items
+        with self._lock:
+            self._stats["expired"] += len(expired)
+        for _, fut, t_in, _dl in expired:
+            _safe_set(fut, exc=TimeoutError(
+                f"request deadline exceeded before dispatch "
+                f"(waited {(now - t_in) * 1e3:.0f} ms)"))
+        return [it for it in items if it[3] is None or now <= it[3]]
+
     def _dispatch_or_defer(self, items: list) -> list:
         """Defer-to-fill: when the collected count n lands between buckets
         and the remainder after the lower bucket is SMALL (smaller than both
@@ -389,6 +412,9 @@ class CaptionService:
         burned on dummy rows) because every backlog of 9-31 requests was
         padded to the 32-bucket. Light load is unchanged — with n at or
         below the smallest bucket the policy degenerates to pad-and-send."""
+        items = self._shed_expired(items)
+        if not items:
+            return []
         n = len(items)
         bs = self.scfg.buckets
         b_down = max((b for b in bs if b <= n), default=None)
@@ -404,18 +430,6 @@ class CaptionService:
 
     def _dispatch(self, items: list) -> None:
         now = time.monotonic()
-        # deadline shed: fail stale requests before they occupy decode slots
-        expired = [it for it in items if it[3] is not None and now > it[3]]
-        if expired:
-            with self._lock:
-                self._stats["expired"] += len(expired)
-            for _, fut, t_in, dl in expired:
-                _safe_set(fut, exc=TimeoutError(
-                    f"request deadline exceeded before dispatch "
-                    f"(waited {(now - t_in) * 1e3:.0f} ms)"))
-            items = [it for it in items if it[3] is None or now <= it[3]]
-            if not items:
-                return
         n = len(items)
         bucket = next((b for b in self.scfg.buckets if b >= n),
                       self.scfg.buckets[-1])

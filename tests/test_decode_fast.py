@@ -156,3 +156,32 @@ def test_decode_fast_distinct_decoder_head_count(rng):
         )
         np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-4,
                                    err_msg=f"step {t}")
+
+
+def test_plan_regime_stale_warning(monkeypatch, caplog):
+    """Plan-provenance guard (VERDICT r4 #6): choose_plan warns (once) when
+    the active knob regime differs from the one its per-batch defaults were
+    measured under, and stays silent on the measured-basis defaults."""
+    import logging
+
+    from vacnic_tpu.infer import decode_fast as DF
+
+    # default regime -> no warning
+    for knob in ("VACNIC_BEAM_LOGIC", "VACNIC_BEAM_SHORTLIST",
+                 "VACNIC_BEAM_TOPK", "VACNIC_CROSSKV_INT8",
+                 "VACNIC_SELFKV_FP8", "VACNIC_SELFKV_INT8"):
+        monkeypatch.delenv(knob, raising=False)
+    monkeypatch.setattr(DF, "_plan_regime_warned", False)
+    with caplog.at_level(logging.WARNING, logger="vacnic_tpu.infer.decode_fast"):
+        DF.choose_plan(160, 32, 64, 4096)
+    assert not [r for r in caplog.records if "regime" in r.message]
+
+    # a knob flip off the measured basis -> exactly one warning naming it
+    monkeypatch.setenv("VACNIC_BEAM_TOPK", "plain")
+    monkeypatch.setattr(DF, "_plan_regime_warned", False)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="vacnic_tpu.infer.decode_fast"):
+        DF.choose_plan(160, 32, 64, 4096)
+        DF.choose_plan(320, 64, 64, 4096)  # warn-once: second call silent
+    warns = [r for r in caplog.records if "beam_topk" in r.getMessage()]
+    assert len(warns) == 1, [r.getMessage() for r in caplog.records]

@@ -486,6 +486,67 @@ def decode_step(
     return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 
+# --- plan provenance -------------------------------------------------------
+# choose_plan's per-batch defaults are MEASUREMENT SNAPSHOTS, not laws: every
+# number in the default ladder (b64 140 XLA-head / b128 157 / b256 ~168-176
+# cps, scripts/logs_r4/bench_queue{9,18}.log, docs/decode_budget.md) was taken
+# under one specific knob regime. When an upstream default changes the regime,
+# the plan defaults rot silently — the motivating bug: the r2-era "n_lm=32
+# wins at b64" default inverted under the blockmax beam logic and survived two
+# rounds until a vacuous A/B was investigated (queue18). choose_plan warns
+# once per process when the active regime differs from the measured basis so
+# a sweep log never silently mixes regimes.
+_PLAN_MEASURED_REGIME = {
+    # r4 final-HEAD defaults the ladder was measured under (v5e):
+    "beam_logic": "shortlist",   # VACNIC_BEAM_LOGIC / resolve_cand_mode
+    "beam_topk": "blockmax",     # VACNIC_BEAM_TOPK (row top-C, queue9)
+    "crosskv_int8": "1",         # VACNIC_CROSSKV_INT8 (gate PASS, PARITY.md)
+    "selfkv_fp8": "0",           # measured negative on v5e (queue11)
+    "selfkv_int8": "0",          # fails its quality gate (queue20/21)
+}
+_plan_regime_warned = False
+
+
+def plan_regime() -> dict[str, str]:
+    """The active decode-knob regime, normalized to the keys of
+    _PLAN_MEASURED_REGIME (env-only view; beam_logic defaults to the
+    large-vocab resolution of resolve_cand_mode, which is what every
+    bench shape uses)."""
+    env = os.environ
+    logic = env.get("VACNIC_BEAM_LOGIC")
+    if logic is None:
+        logic = {"1": "shortlist", "0": "full"}.get(
+            env.get("VACNIC_BEAM_SHORTLIST", ""), "shortlist")
+    return {
+        "beam_logic": logic,
+        "beam_topk": env.get("VACNIC_BEAM_TOPK", "blockmax"),
+        "crosskv_int8": env.get("VACNIC_CROSSKV_INT8", "1"),
+        "selfkv_fp8": "1" if env.get("VACNIC_SELFKV_FP8") == "1" else "0",
+        "selfkv_int8": "1" if env.get("VACNIC_SELFKV_INT8") == "1" else "0",
+    }
+
+
+def _warn_if_plan_regime_stale() -> None:
+    global _plan_regime_warned
+    if _plan_regime_warned:
+        return
+    active = plan_regime()
+    diff = {k: (active[k], _PLAN_MEASURED_REGIME[k])
+            for k in _PLAN_MEASURED_REGIME if active[k] != _PLAN_MEASURED_REGIME[k]}
+    if diff:
+        _plan_regime_warned = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "choose_plan: active knob regime differs from the one the "
+            "per-batch plan defaults were measured under — %s (active vs "
+            "measured). The default ladder (docs/decode_budget.md) may be "
+            "stale in this regime; re-sweep VACNIC_PLAN_* before trusting "
+            "relative numbers (the b64 in-kernel-LM default inverted this "
+            "way under blockmax, scripts/logs_r4/bench_queue18.log).",
+            diff)
+
+
 def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     """Auto ChunkPlan for the fused decode kernel at static shapes.
 
@@ -494,6 +555,8 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     must hold whole beam groups (ancestry is chunk-local) and bkc must stay
     8-aligned (Mosaic sublane splits)."""
     from vacnic_tpu.kernels.decode_layer import ChunkPlan
+
+    _warn_if_plan_regime_stale()
 
     def pick(target_chunks, valid):
         for n in (target_chunks, 8, 4, 2, 1):

@@ -502,6 +502,30 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_quality_rehearsal(args) -> int:
+    """One-command corpus-quality-parity rehearsal (eval/rehearsal.py): when
+    real weights/corpora appear, the real run swaps synthetic data for the
+    corpus paths — the decode+convert+eval pipeline is this exact code."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # CI-time CPU check
+    from vacnic_tpu.eval.rehearsal import run_quality_rehearsal
+
+    try:
+        summary = run_quality_rehearsal(
+            args.out_dir, n_samples=args.samples,
+            train_steps=args.train_steps, seed=args.seed,
+            ref_dir=args.ref_dir)
+    except SystemExit as e:
+        if e.code == 3:
+            print("quality-rehearsal: reference snapshot not mounted at "
+                  f"{args.ref_dir} (env-blocked)", file=sys.stderr)
+        raise
+    print(json.dumps(summary))
+    ok = summary["token_identity"] == 1.0 and summary["metrics_identical"]
+    return 0 if ok else 1
+
+
 def cmd_evaluate(args) -> int:
     from vacnic_tpu.eval.caption_metrics import compute_caption_metrics
     from vacnic_tpu.eval.entity_eval import evaluate_entity, evaluate_entity_by_gtent
@@ -747,6 +771,19 @@ def main(argv=None) -> int:
     sp.add_argument("--batch-size", type=int, default=4)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_lmm)
+
+    sp = sub.add_parser(
+        "quality-rehearsal",
+        help="CPU rehearsal of corpus quality parity: train the reference "
+             "torch model briefly, convert, decode a held-out split through "
+             "both stacks, run the full eval stack on both, assert metric "
+             "identity")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--samples", type=int, default=16)
+    sp.add_argument("--train-steps", type=int, default=120)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--ref-dir", default="/root/reference")
+    sp.set_defaults(fn=cmd_quality_rehearsal)
 
     sp = sub.add_parser("smoke", help="tiny synthetic end-to-end self-check")
     sp.set_defaults(fn=cmd_smoke)

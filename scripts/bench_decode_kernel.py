@@ -30,6 +30,7 @@ PLAN = ChunkPlan(
     n_cross=int(os.environ.get("PLAN_CROSS", 4)),
     n_ffn=int(os.environ.get("PLAN_FFN", 2)),
     vmem_mb=int(os.environ.get("PLAN_VMEM", 110)),
+    ffn_shadow=int(os.environ.get("PLAN_FFNSHADOW", 0)),
 )
 
 

@@ -658,6 +658,28 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     n_ffn = int(os.environ.get("VACNIC_PLAN_NFFN", nf_default))
     if n_ffn < 1 or ffn_cols % n_ffn:  # 0/negative would ZeroDivisionError
         n_ffn = nf_default
+    # FFN-in-fetch-shadow (r5 overlap lever): schedule the FFN jobs inside
+    # the cross-phase fetch stream instead of dedicated compute-only phases.
+    # Requires the job schedule to respect the x1 row dependency — only
+    # enabled when the geometry check passes (default plans: n_cross ==
+    # 2*n_self and n_ffn == 2, which satisfies it with equality).
+    ffn_shadow = int(os.environ.get("VACNIC_PLAN_FFNSHADOW", 0))
+    if ffn_shadow:
+        bkc = bk // n_self
+        rows_per_cross = (bk // b) * (b // n_cross)  # beams * bc
+        stride = 1 if n_ffn >= 2 else 2
+        ok = all(
+            c * n_ffn * stride + 2 > -(-(c + 1) * bkc // rows_per_cross) - 1
+            for c in range(n_self))
+        if not ok:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "VACNIC_PLAN_FFNSHADOW=1 requested but the plan geometry "
+                "(n_self=%d n_cross=%d n_ffn=%d) violates the shadow "
+                "schedule's x1 dependency; running without it", n_self,
+                n_cross, n_ffn)
+            ffn_shadow = 0
     return ChunkPlan(
         n_self=n_self,
         n_cross=n_cross,
@@ -668,6 +690,7 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
                                     ChunkPlan._field_defaults["vmem_mb"])),
         gather_v2=int(os.environ.get("VACNIC_GATHER_V2",
                                       ChunkPlan._field_defaults["gather_v2"])),
+        ffn_shadow=ffn_shadow,
     )
 
 

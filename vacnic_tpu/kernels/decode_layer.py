@@ -84,11 +84,41 @@ class ChunkPlan(NamedTuple):
     # 109.7 vs 103.8 cps at batch 64). >0 = vocab chunks for the in-kernel
     # variant (16 fits the VMEM stack at bart-large; 8 OOMs by ~3-4 MB).
     n_lm: int = 0
+    # FFN-in-fetch-shadow (r5, the overlap lever from the queue8-10 floor
+    # attribution: skeleton fetch-only 11.66 ms of a 16.28 ms model step —
+    # step ≈ fetch + compute, NOT max(fetch, compute), because the FFN's
+    # ~21.5 GFLOP/layer runs in n_ffn compute-only phases at the END of each
+    # layer while the 96 fetch-heavy self/cross phases have almost no MXU
+    # work, and Mosaic's pipeline only looks one block ahead). 1 = drop the
+    # dedicated FFN phases and instead compute the FFN row-chunked (one self
+    # chunk's rows per job, column chunk f per job) INSIDE the cross-phase
+    # stream, where each job's ~10 us of MXU time hides under that phase's
+    # cross-KV window fetch. Dependency-safe: cross phase m writes
+    # x1 rows of self chunk m//ceil(n_cross/n_self)... (see _ffn_job), and
+    # job j for chunk c = j // n_ffn is scheduled at phase m = j + 2, which
+    # is strictly after the cross phases that produce chunk c's x1 rows
+    # whenever n_ffn >= 2 (n_ffn == 1 uses stride 2). Jobs that don't fit in
+    # n_cross phases spill into `extra_phases` tail phases per layer.
+    ffn_shadow: int = 0
+
+    @property
+    def ffn_stride(self) -> int:
+        return 1 if self.n_ffn >= 2 else 2
+
+    @property
+    def extra_phases(self) -> int:
+        if not self.ffn_shadow:
+            return 0
+        n_jobs = self.n_self * self.n_ffn
+        m_last = 2 + (n_jobs - 1) * self.ffn_stride
+        return max(0, m_last + 1 - self.n_cross)
 
     @property
     def phases(self) -> int:
+        body = self.n_self * self.n_t + self.n_cross
+        body += self.extra_phases if self.ffn_shadow else self.n_ffn
         # the LM head (if on) runs on an extra grid iteration reusing these
-        return max(self.n_self * self.n_t + self.n_cross + self.n_ffn, self.n_lm)
+        return max(body, self.n_lm)
 
 
 def _kernel(
@@ -224,8 +254,17 @@ def _kernel(
                        enc_bias_ref)
             l_s[...] = jnp.full(l_s.shape, s, jnp.float32)
 
-        @pl.when((l < n_layers) & (p >= ns + plan.n_cross)
-                 & (p < ns + plan.n_cross + plan.n_ffn))
+        if plan.ffn_shadow:
+            # shadow plans fetch fc blocks during the cross/tail job phases
+            sk_m = p - ns
+            sk_j = (sk_m - 2) // plan.ffn_stride
+            sk_ffn_on = ((sk_m >= 2) & (sk_j >= 0)
+                         & (sk_j < plan.n_self * plan.n_ffn))
+        else:
+            sk_ffn_on = ((p >= ns + plan.n_cross)
+                         & (p < ns + plan.n_cross + plan.n_ffn))
+
+        @pl.when((l < n_layers) & sk_ffn_on)
         def _sk_ffn():
             s = _touch(w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref, ln_f_ref)
             att_s[...] = jnp.full(att_s.shape, s, jnp.float32)
@@ -489,35 +528,82 @@ def _kernel(
         # reads x1 as FFN input)
         x1_s[rows, :] = ln(ln_c_ref, x_in + o)
 
-    # ---------------- FFN column chunk --------------------------------------
-    # upper bound matters: when n_lm pads plan.phases past the body phases,
-    # an unbounded guard would re-run the last FFN chunk on every pad phase
-    @pl.when((l < n_layers) & (p >= ns + plan.n_cross)
-             & (p < ns + plan.n_cross + plan.n_ffn))
-    def _ffn():
-        f = p - ns - plan.n_cross
-        x_in = x1_s[:].astype(mm_dtype)
-        h = act(jnp.dot(x_in, w_fc1_ref[0].astype(mm_dtype),
-                        preferred_element_type=jnp.float32)
-                + b_fc1_ref[0, 0][None, :]).astype(mm_dtype)
-        delta = jnp.dot(h, w_fc2_ref[0].astype(mm_dtype),
-                        preferred_element_type=jnp.float32)
+    # ---------------- FFN ----------------------------------------------------
+    if plan.ffn_shadow:
+        # FFN-in-fetch-shadow: one (row chunk, column chunk) job per cross/
+        # tail phase, scheduled at m = j·stride + 2 so every job runs
+        # strictly after the cross phases that write its rows' x1 (the
+        # caller asserts the schedule's dependency condition). The ~10 us
+        # of MXU work per job hides under that phase's cross-KV window
+        # fetch instead of serializing in dedicated compute-only phases.
+        n_jobs = plan.n_self * plan.n_ffn
+        stride = plan.ffn_stride
+        m = p - ns
+        jj = (m - 2) // stride
+        job_ok = (m >= 2) & (jj >= 0) & (jj < n_jobs)
+        if stride > 1:
+            job_ok = job_ok & ((m - 2) % stride == 0)
 
-        @pl.when(f == 0)
-        def _init():
-            acc_s[:] = delta
+        @pl.when((l < n_layers) & job_ok)
+        def _ffn_job():
+            jc = jj // plan.n_ffn
+            f = jj % plan.n_ffn
+            rows = pl.ds(jc * bkc, bkc)
+            x_in = x1_s[rows, :].astype(mm_dtype)
+            h = act(jnp.dot(x_in, w_fc1_ref[0].astype(mm_dtype),
+                            preferred_element_type=jnp.float32)
+                    + b_fc1_ref[0, 0][None, :]).astype(mm_dtype)
+            delta = jnp.dot(h, w_fc2_ref[0].astype(mm_dtype),
+                            preferred_element_type=jnp.float32)
 
-        @pl.when(f > 0)
-        def _acc():
-            acc_s[:] = acc_s[:] + delta
+            @pl.when(f == 0)
+            def _init():
+                acc_s[...] = delta
 
-        @pl.when(f == plan.n_ffn - 1)
-        def _finish():
-            x_s[:] = ln(ln_f_ref, x1_s[:] + acc_s[:] + b_fc2_ref[0, 0][None, :])
+            @pl.when(f > 0)
+            def _acc():
+                acc_s[...] = acc_s[...] + delta
 
-            @pl.when(l == n_layers - 1)
-            def _emit():
-                x_out_ref[:] = x_s[:].astype(x_out_ref.dtype)
+            @pl.when(f == plan.n_ffn - 1)
+            def _finish():
+                x_s[rows, :] = ln(ln_f_ref, x1_s[rows, :] + acc_s[...]
+                                  + b_fc2_ref[0, 0][None, :])
+
+                @pl.when(l == n_layers - 1)
+                def _emit():
+                    x_out_ref[rows, :] = x_s[rows, :].astype(x_out_ref.dtype)
+    else:
+        # dedicated FFN column-chunk phases at the end of each layer.
+        # upper bound matters: when n_lm pads plan.phases past the body
+        # phases, an unbounded guard would re-run the last FFN chunk on
+        # every pad phase
+        @pl.when((l < n_layers) & (p >= ns + plan.n_cross)
+                 & (p < ns + plan.n_cross + plan.n_ffn))
+        def _ffn():
+            f = p - ns - plan.n_cross
+            x_in = x1_s[:].astype(mm_dtype)
+            h = act(jnp.dot(x_in, w_fc1_ref[0].astype(mm_dtype),
+                            preferred_element_type=jnp.float32)
+                    + b_fc1_ref[0, 0][None, :]).astype(mm_dtype)
+            delta = jnp.dot(h, w_fc2_ref[0].astype(mm_dtype),
+                            preferred_element_type=jnp.float32)
+
+            @pl.when(f == 0)
+            def _init():
+                acc_s[:] = delta
+
+            @pl.when(f > 0)
+            def _acc():
+                acc_s[:] = acc_s[:] + delta
+
+            @pl.when(f == plan.n_ffn - 1)
+            def _finish():
+                x_s[:] = ln(ln_f_ref,
+                            x1_s[:] + acc_s[:] + b_fc2_ref[0, 0][None, :])
+
+                @pl.when(l == n_layers - 1)
+                def _emit():
+                    x_out_ref[:] = x_s[:].astype(x_out_ref.dtype)
 
     # ---------------- LM head (extra grid iteration, vocab chunks) ----------
     # Optional: the tied-embedding matmul streamed through the same pipeline.
@@ -661,7 +747,27 @@ def decode_stack(
     def cross_j(l, p, pos_ref):
         return jnp.where(l >= L, n_cross - 1, jnp.clip(p - ns, 0, n_cross - 1))
 
+    if plan.ffn_shadow:
+        # dependency condition of the shadow schedule: job j for row chunk c
+        # (at phase m = j*stride + 2) must run strictly after the last cross
+        # phase writing chunk c's x1 rows. Holds for every default plan
+        # (n_cross/n_self == 2 == n_ffn); reject other geometries loudly
+        # rather than decode garbage.
+        rows_per_cross = bc * beams
+        for c_ in range(plan.n_self):
+            m_prod = -(-(c_ + 1) * bkc // rows_per_cross) - 1
+            m_job = c_ * plan.n_ffn * plan.ffn_stride + 2
+            assert m_job > m_prod, (
+                f"ffn_shadow schedule violates x1 dependency for chunk {c_} "
+                f"(job phase {m_job} <= producer phase {m_prod}); use the "
+                f"default plan geometry or disable ffn_shadow")
+
     def ffn_j(l, p, pos_ref):
+        if plan.ffn_shadow:
+            jj = jnp.clip((p - ns - 2) // plan.ffn_stride, 0,
+                          plan.n_self * plan.n_ffn - 1)
+            return jnp.where(l >= L, plan.n_ffn - 1,
+                             jnp.clip(jj % plan.n_ffn, 0, plan.n_ffn - 1))
         return jnp.where(l >= L, plan.n_ffn - 1,
                          jnp.clip(p - ns - n_cross, 0, plan.n_ffn - 1))
 
@@ -763,7 +869,9 @@ def decode_stack(
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),    # x_s
             pltpu.VMEM((bk, d), jnp.float32),    # x1_s
-            pltpu.VMEM((bk, d), jnp.float32),    # acc_s
+            # shadow FFN accumulates one row chunk at a time (jobs for a
+            # chunk are consecutive) — bkc rows instead of bk saves ~5 MB
+            pltpu.VMEM((bkc if plan.ffn_shadow else bk, d), jnp.float32),
             pltpu.VMEM((bkc, d), mm_dtype),      # q_s
             pltpu.VMEM((bkc, d), mm_dtype),      # kn_s
             pltpu.VMEM((bkc, d), mm_dtype),      # vn_s

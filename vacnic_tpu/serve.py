@@ -88,6 +88,18 @@ class ServeConfig:
     max_queue: int = 4096
     input_kind: str = "image_cls"
     default_deadline_ms: float | None = None
+    # Fill-to-stable (r5, from the queue24/28 on-chip A/B): at 40 rps the
+    # batcher dispatched 8-buckets whose measured capacity (~50 cps) matched
+    # the offered rate — the service ran saturated and open-loop p50 sat at
+    # ~2.2 s of pure queueing while the 32-bucket (~90 cps) went unused.
+    # When enabled, the batcher tracks the arrival rate (2 s window) and
+    # per-bucket decode times (EWMA, seeded by precompile), and when more
+    # than one request is waiting it extends collection to fill the smallest
+    # bucket whose capacity >= arrival_rate * stable_margin. Single-stream
+    # traffic (n == 1 after collect) never waits, so the closed-loop latency
+    # floor is unchanged.
+    fill_to_stable: bool = True
+    stable_margin: float = 1.2
 
 
 class CaptionService:

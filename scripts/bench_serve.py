@@ -72,10 +72,12 @@ def main() -> None:
     rate = float(os.environ.get("SERVE_RATE", "40"))
     n_req = int(os.environ.get("SERVE_N", "4" if tiny else "192"))
 
+    fill = os.environ.get("SERVE_FILL", "1") == "1"
     svc = CaptionService(cfg, params,
                          serve_cfg=ServeConfig(buckets=buckets,
                                                max_wait_ms=wait_ms,
-                                               max_queue=65536))
+                                               max_queue=65536,
+                                               fill_to_stable=fill))
     # per-sample request rows (distinct seeds → distinct articles)
     pool = synthetic_batch(cfg, min(64, max(8, n_req)), seed=0)
     keys = ("article_ids", "image_cls", "face_emb", "names_art_ids")
@@ -144,6 +146,8 @@ def main() -> None:
         st = svc.stats()
         result["padded_rows_total"] = st["padded_rows"]
         result["deferred_rows_total"] = st["deferred_rows"]
+        result["fill_to_stable"] = fill
+        result["bucket_decode_ms"] = st.get("bucket_decode_ms")
         result["slots_total"] = sum(b * c for b, c in st["bucket_counts"].items())
         result["value"] = result["open_loop_p50_ms"]
     finally:

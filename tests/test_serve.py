@@ -573,3 +573,67 @@ def test_shed_runs_before_defer_split(setup):
     assert st["batches"] == 1 and st["deferred_rows"] == 0
     seqs, _ = _direct(cfg, params, [rows[8]] * 8)  # pad = repeat row 0
     assert res["tokens"] == [int(t) for t in seqs[0]]
+
+
+def test_stable_target_selection(setup):
+    """Fill-to-stable bucket choice: smallest bucket whose measured capacity
+    covers rate*margin; largest when none; optimistic fallback for unknown
+    decode times."""
+    cfg, params = setup
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 2, 4),
+                                               stable_margin=1.2))
+    try:
+        svc._bucket_ms = {1: 200.0, 2: 200.0, 4: 300.0}
+        # rate 10 -> need 12 cps: b1=5cps no, b2=10cps no, b4=13.3cps yes
+        assert svc._stable_target(10.0) == (4, 300.0)
+        # rate 2 -> need 2.4 cps: b1=5cps suffices
+        assert svc._stable_target(2.0) == (1, 200.0)
+        # rate 100 -> nothing suffices -> largest (max throughput)
+        assert svc._stable_target(100.0) == (4, 300.0)
+        # unknown b4 time falls back to b2's estimate (optimistic)
+        svc._bucket_ms = {1: 200.0, 2: 200.0}
+        assert svc._stable_target(10.0) == (4, 200.0)
+    finally:
+        svc.close()
+
+
+def test_fill_to_stable_extends_collection(setup, monkeypatch):
+    """With a measured arrival rate and decode times making only the largest
+    bucket stable, _fill_to_stable pulls queued arrivals up to the target;
+    a single-request batch (closed-loop) never waits."""
+    import dataclasses
+
+    cfg, params = setup
+    # stub the batcher loop so the directly-enqueued items are not consumed
+    # by the worker thread (this is a white-box test of the fill logic)
+    monkeypatch.setattr(CaptionService, "_run", lambda self: None)
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 2, 4),
+                                               max_wait_ms=1))
+    try:
+        now = time.monotonic()
+        svc._arrivals.extend([now - 0.1 * i for i in range(20)])  # ~10 rps
+        svc._bucket_ms = {1: 200.0, 2: 200.0, 4: 300.0}
+        rows = _rows(cfg, 4, seed=71)
+        items = [(r, None, now, None) for r in rows]
+        svc._q.put((rows[2], None, now, None))
+        svc._q.put((rows[3], None, now, None))
+        out = svc._fill_to_stable(items[:2])
+        assert len(out) == 4  # filled to the stable target bucket
+        # closed-loop: one item -> untouched, no wait
+        t0 = time.monotonic()
+        out1 = svc._fill_to_stable(items[:1])
+        assert len(out1) == 1 and time.monotonic() - t0 < 0.05
+        # disabled knob -> untouched
+        svc.scfg = dataclasses.replace(svc.scfg, fill_to_stable=False)
+        out2 = svc._fill_to_stable(items[:2])
+        assert len(out2) == 2
+        # no decode-time data -> untouched (cold service must not hold
+        # requests on a guess)
+        svc.scfg = dataclasses.replace(svc.scfg, fill_to_stable=True)
+        svc._bucket_ms = {}
+        out3 = svc._fill_to_stable(items[:2])
+        assert len(out3) == 2
+    finally:
+        svc.close()

@@ -165,6 +165,10 @@ class CaptionService:
         # per-request end-to-end latency (submit -> future resolved), bounded
         # ring so stats() can report percentiles without unbounded growth
         self._lat_ring: collections.deque = collections.deque(maxlen=4096)
+        # fill-to-stable state: arrival timestamps (2 s sliding window) and
+        # per-bucket decode-time EWMAs (seeded by precompile)
+        self._arrivals: collections.deque = collections.deque(maxlen=1024)
+        self._bucket_ms: dict[int, float] = {}
         self._expected = self._expected_shapes()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="vacnic-serve-batcher")
@@ -237,6 +241,7 @@ class CaptionService:
                 raise ValueError(f"deadline_ms: must be finite, got {dl_ms}")
         deadline = (time.monotonic() + dl_ms / 1e3
                     if dl_ms is not None else None)
+        self._arrivals.append(time.monotonic())  # deque append is atomic
         try:
             self._q.put_nowait((clean, fut, time.monotonic(), deadline))
         except queue.Full:
@@ -301,6 +306,10 @@ class CaptionService:
         if lat.size:  # end-to-end latency percentiles (last ≤4096 requests)
             for p in (50, 95, 99):
                 s[f"latency_p{p}_ms"] = round(float(np.percentile(lat, p)), 1)
+        s["bucket_decode_ms"] = {b: round(v, 1)
+                                 for b, v in sorted(self._bucket_ms.items())}
+        r = self._arrival_rate()
+        s["arrival_rate_rps"] = round(r, 1) if r is not None else None
         return s
 
     def close(self, timeout: float = 30.0) -> None:
@@ -342,6 +351,12 @@ class CaptionService:
             rows = [{k: np.asarray(batch[k][i]) for k in self._expected}
                     for i in range(b)]
             self._decode_rows(rows)
+            # seed the fill-to-stable decode-time estimate with a WARM run
+            # (the first decode above paid the compile)
+            t0 = time.monotonic()
+            self._decode_rows(rows)
+            self._bucket_ms.setdefault(int(b),
+                                       (time.monotonic() - t0) * 1e3)
 
     def _run(self) -> None:
         carry: list = []
@@ -368,6 +383,7 @@ class CaptionService:
                 if first is None:
                     continue
                 items = self._collect(first)
+            items = self._fill_to_stable(items)
             carry = self._dispatch_or_defer(items)
         # sole-consumer drain on exit: fail whatever is still queued/carried
         for item in carry:
@@ -385,6 +401,69 @@ class CaptionService:
         max_b = self.scfg.buckets[-1]
         deadline = time.monotonic() + self.scfg.max_wait_ms / 1e3
         while len(items) < max_b:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    # -- fill-to-stable --------------------------------------------------------
+
+    def _arrival_rate(self, window_s: float = 2.0) -> float | None:
+        """Requests/sec over the trailing window; None below 4 arrivals
+        (not enough signal to justify holding anyone's request)."""
+        now = time.monotonic()
+        n = sum(1 for t in reversed(self._arrivals) if t > now - window_s)
+        return n / window_s if n >= 4 else None
+
+    def _stable_target(self, rate: float) -> tuple[int, float | None]:
+        """Smallest bucket whose measured capacity (b / decode_time) covers
+        rate * stable_margin; the largest bucket if none does (max
+        throughput is the best a saturated service can offer). Unknown
+        decode times fall back to the nearest smaller bucket's (optimistic —
+        self-corrects after one dispatch)."""
+        d_prev = None
+        for b in self.scfg.buckets:
+            d = self._bucket_ms.get(b, d_prev)
+            if d is None:
+                continue
+            d_prev = d
+            if b / (d / 1e3) >= rate * self.scfg.stable_margin:
+                return b, d
+        b = self.scfg.buckets[-1]
+        return b, self._bucket_ms.get(b, d_prev)
+
+    def _fill_to_stable(self, items: list) -> list:
+        """Under sustained load (more than one request in the collected
+        batch), extend collection until the stability-target bucket is full.
+        Motivation (queue24/28 on-chip): at 40 rps the 20 ms collect window
+        produced 8-bucket dispatches whose ~50 cps capacity equaled the
+        offered rate — saturation queueing, open-loop p50 ~2.2 s. Filling
+        the smallest STABLE bucket trades a bounded fill wait (≤ the
+        estimated fill time, capped at one decode of the target) for a
+        drained queue. n == 1 never waits: closed-loop latency unchanged."""
+        n = len(items)
+        if not self.scfg.fill_to_stable or n <= 1:
+            return items
+        if not self._bucket_ms:
+            return items  # no decode-time data yet: nothing to reason with
+        rate = self._arrival_rate()
+        if rate is None:
+            return items
+        target, d_ms = self._stable_target(rate)
+        if n >= target:
+            return items
+        fill_s = (target - n) / rate * 1.25
+        if d_ms is not None:  # waiting longer than one target decode never pays
+            fill_s = min(fill_s, d_ms / 1e3)
+        deadline = time.monotonic() + fill_s
+        while len(items) < target and not self._closed.is_set():
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
@@ -456,6 +535,9 @@ class CaptionService:
                 _safe_set(fut, exc=e)
             return
         done = time.monotonic()
+        old = self._bucket_ms.get(int(bucket))
+        self._bucket_ms[int(bucket)] = (decode_ms if old is None
+                                        else 0.7 * old + 0.3 * decode_ms)
         with self._lock:
             self._stats["requests"] += n
             self._stats["batches"] += 1

@@ -48,6 +48,8 @@ FAST_TESTS = {
     "test_checkpoint_flow.py::test_retrieve_ckpt_loader_formats",
     "test_decode_fast.py::test_choose_plan_clamps_env_chunking",   # plan legality
     "test_serve.py::test_singleton_flush",                         # serving micro-batcher
+    "test_serve.py::test_stable_target_selection",                 # fill-to-stable policy (r5)
+    "test_decode_fast.py::test_plan_regime_stale_warning",         # plan-provenance guard (r5)
 }
 
 

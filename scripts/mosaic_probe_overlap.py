@@ -41,9 +41,24 @@ N_WIN = int(os.environ.get("PROBE_WINDOWS", 128))
 K = int(os.environ.get("PROBE_K", 0))
 REPS = int(os.environ.get("PROBE_REPS", 30))
 ROWS = 4096  # window = [1, ROWS, 1024] bf16 = 8 MB
+# Variables that differ between this minimal kernel and the decode kernel —
+# candidate overlap-killers to isolate if K=1 ~= K=0 here but the decode
+# kernel is additive:
+#   PROBE_EXTRA_OPS: N additional small window operands (decode kernel has
+#     28 operands; many DMA streams may serialize the scheduler)
+#   PROBE_DYNIDX=1: index map depends on a scalar-prefetch arg (the decode
+#     kernel's pos-based elision) — dynamic indices may defeat lookahead
+EXTRA_OPS = int(os.environ.get("PROBE_EXTRA_OPS", 0))
+DYNIDX = os.environ.get("PROBE_DYNIDX") == "1"
 
 
-def kernel(win_ref, carry_ref, out_ref, a_s, acc_s):
+def kernel(*refs):
+    if DYNIDX:
+        _sp, win_ref, carry_ref, *rest = refs
+    else:
+        win_ref, carry_ref, *rest = refs
+    extra = rest[:EXTRA_OPS]
+    out_ref, a_s, acc_s = rest[EXTRA_OPS], rest[EXTRA_OPS + 1], rest[EXTRA_OPS + 2]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -63,6 +78,8 @@ def kernel(win_ref, carry_ref, out_ref, a_s, acc_s):
 
     # touch a corner of the fetched window so its copy cannot be elided
     acc_s[...] = acc_s[...] + win_ref[0, :8, :128].astype(jnp.float32)
+    for e in extra:
+        acc_s[...] = acc_s[...] + e[0, :8, :128].astype(jnp.float32)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _emit():
@@ -72,25 +89,65 @@ def kernel(win_ref, carry_ref, out_ref, a_s, acc_s):
 def main():
     key = jax.random.PRNGKey(0)
     wins = jax.random.normal(key, (N_WIN, ROWS, 1024), jnp.bfloat16)
+    extras = [jax.random.normal(jax.random.fold_in(key, 10 + e),
+                                (N_WIN, 8, 128), jnp.bfloat16)
+              for e in range(EXTRA_OPS)]
 
-    call = pl.pallas_call(
-        kernel,
-        grid=(N_WIN,),
-        in_specs=[pl.BlockSpec((1, ROWS, 1024), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((8, 128), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1024, 1024), jnp.float32),
-                        pltpu.VMEM((8, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=os.environ.get("PROBE_INTERPRET") == "1",
-    )
+    if DYNIDX:
+        # window index comes from a scalar-prefetch permutation (the decode
+        # kernel's pos-elision pattern: index maps read pos_ref)
+        def win_idx(i, perm_ref):
+            return (perm_ref[i], 0, 0)
+
+        def small_idx(i, perm_ref):
+            return (0, 0)
+
+        def extra_idx(i, perm_ref):
+            return (perm_ref[i], 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N_WIN,),
+            in_specs=[pl.BlockSpec((1, ROWS, 1024), win_idx),
+                      pl.BlockSpec((8, 128), small_idx)]
+            + [pl.BlockSpec((1, 8, 128), extra_idx) for _ in range(EXTRA_OPS)],
+            out_specs=pl.BlockSpec((8, 128), small_idx),
+            scratch_shapes=[pltpu.VMEM((1024, 1024), jnp.float32),
+                            pltpu.VMEM((8, 128), jnp.float32)],
+        )
+        call0 = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=os.environ.get("PROBE_INTERPRET") == "1",
+        )
+        perm = jnp.arange(N_WIN, dtype=jnp.int32)
+
+        def call(wins, carry, *extras):
+            return call0(perm, wins, carry, *extras)
+    else:
+        call = pl.pallas_call(
+            kernel,
+            grid=(N_WIN,),
+            in_specs=[pl.BlockSpec((1, ROWS, 1024), lambda i: (i, 0, 0)),
+                      pl.BlockSpec((8, 128), lambda i: (0, 0))]
+            + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))
+               for _ in range(EXTRA_OPS)],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1024, 1024), jnp.float32),
+                            pltpu.VMEM((8, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=os.environ.get("PROBE_INTERPRET") == "1",
+        )
 
     @jax.jit
     def run(wins, carry0):
         def body(carry, _):
-            out = call(wins, carry)
+            out = call(wins, carry, *extras)
             return out, ()
 
         carry, _ = jax.lax.scan(body, carry0, None, length=REPS)

@@ -145,7 +145,11 @@ def main():
         )
 
     @jax.jit
-    def run(wins, carry0):
+    def run(wins, carry0, *extras):
+        # extras are jit ARGUMENTS, never closed over: closures inline as
+        # MLIR constants on this backend (CLAUDE.md) — which both bloats the
+        # remote compile and stops the variant from modeling real operand
+        # DMA streams
         def body(carry, _):
             out = call(wins, carry, *extras)
             return out, ()
@@ -155,13 +159,13 @@ def main():
 
     carry0 = jnp.ones((8, 128), jnp.float32)
     t0 = time.time()
-    out = np.asarray(run(wins, carry0))
+    out = np.asarray(run(wins, carry0, *extras))
     print(f"compile+first: {time.time() - t0:.1f}s out[0,0]={out[0, 0]:.3e}",
           flush=True)
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        out = np.asarray(run(wins, carry0))
+        out = np.asarray(run(wins, carry0, *extras))
         best = min(best, time.perf_counter() - t0)
     per_call = best / REPS
     per_step = per_call / N_WIN

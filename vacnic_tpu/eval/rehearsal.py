@@ -183,6 +183,10 @@ def run_quality_rehearsal(out_dir: str, *, n_samples: int = 16,
     returns the summary dict (keys: token_identity, metrics_identical,
     reports...). Raises SystemExit(3) when the reference snapshot or torch
     is unavailable (env-blocked, not a failure)."""
+    if train_steps < 1:
+        # the whole point is peaked (trained) logits; fail at entry, not
+        # after minutes of model build + decode (round(None) crash)
+        raise ValueError(f"train_steps must be >= 1, got {train_steps}")
     try:
         import torch  # noqa: F401
     except Exception as e:  # pragma: no cover - torch is baked in

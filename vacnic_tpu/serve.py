@@ -241,7 +241,9 @@ class CaptionService:
                 raise ValueError(f"deadline_ms: must be finite, got {dl_ms}")
         deadline = (time.monotonic() + dl_ms / 1e3
                     if dl_ms is not None else None)
-        self._arrivals.append(time.monotonic())  # deque append is atomic
+        with self._lock:  # _arrival_rate iterates; unlocked appends from
+            # HTTP threads would raise "deque mutated during iteration"
+            self._arrivals.append(time.monotonic())
         try:
             self._q.put_nowait((clean, fut, time.monotonic(), deadline))
         except queue.Full:
@@ -306,8 +308,9 @@ class CaptionService:
         if lat.size:  # end-to-end latency percentiles (last ≤4096 requests)
             for p in (50, 95, 99):
                 s[f"latency_p{p}_ms"] = round(float(np.percentile(lat, p)), 1)
-        s["bucket_decode_ms"] = {b: round(v, 1)
-                                 for b, v in sorted(self._bucket_ms.items())}
+        with self._lock:  # _dispatch inserts first-seen buckets concurrently
+            bms = dict(self._bucket_ms)
+        s["bucket_decode_ms"] = {b: round(v, 1) for b, v in sorted(bms.items())}
         r = self._arrival_rate()
         s["arrival_rate_rps"] = round(r, 1) if r is not None else None
         return s
@@ -382,8 +385,12 @@ class CaptionService:
                     continue
                 if first is None:
                     continue
-                items = self._collect(first)
-            items = self._fill_to_stable(items)
+                # fill-to-stable applies to freshly-collected batches only:
+                # carried remainders are promised to go straight back to
+                # dispatch (holding them an extra fill wait would convert
+                # deferrals into deadline sheds under exactly the load the
+                # defer policy targets)
+                items = self._fill_to_stable(self._collect(first))
             carry = self._dispatch_or_defer(items)
         # sole-consumer drain on exit: fail whatever is still queued/carried
         for item in carry:
@@ -419,7 +426,8 @@ class CaptionService:
         """Requests/sec over the trailing window; None below 4 arrivals
         (not enough signal to justify holding anyone's request)."""
         now = time.monotonic()
-        n = sum(1 for t in reversed(self._arrivals) if t > now - window_s)
+        with self._lock:  # submit() appends concurrently
+            n = sum(1 for t in reversed(self._arrivals) if t > now - window_s)
         return n / window_s if n >= 4 else None
 
     def _stable_target(self, rate: float) -> tuple[int, float | None]:
@@ -535,9 +543,10 @@ class CaptionService:
                 _safe_set(fut, exc=e)
             return
         done = time.monotonic()
-        old = self._bucket_ms.get(int(bucket))
-        self._bucket_ms[int(bucket)] = (decode_ms if old is None
-                                        else 0.7 * old + 0.3 * decode_ms)
+        with self._lock:
+            old = self._bucket_ms.get(int(bucket))
+            self._bucket_ms[int(bucket)] = (decode_ms if old is None
+                                            else 0.7 * old + 0.3 * decode_ms)
         with self._lock:
             self._stats["requests"] += n
             self._stats["batches"] += 1

@@ -637,3 +637,50 @@ def test_fill_to_stable_extends_collection(setup, monkeypatch):
         assert len(out3) == 2
     finally:
         svc.close()
+
+
+def test_concurrent_submit_stress(setup):
+    """Regression for the r5 thread-safety fixes: concurrent submitters +
+    stats pollers must not race the batcher's _arrivals/_bucket_ms access
+    (unlocked deque/dict iteration raced HTTP-thread appends and could kill
+    the batcher or 500 the stats endpoint)."""
+    cfg, params = setup
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(1, 4), max_wait_ms=5))
+    rows = _rows(cfg, 8, seed=81)
+    futs: list = []
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def submitter(i):
+        for j in range(6):
+            f = svc.submit(rows[(i * 6 + j) % len(rows)])
+            with lock:
+                futs.append(f)
+            time.sleep(0.002 * (j % 3))
+
+    def poller():
+        while not stop.is_set():
+            s = svc.stats()  # iterates _bucket_ms/_lat_ring under the lock
+            assert "bucket_decode_ms" in s
+            time.sleep(0.001)
+
+    try:
+        threads = [threading.Thread(target=submitter, args=(i,))
+                   for i in range(4)]
+        pt = threading.Thread(target=poller)
+        pt.start()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        results = [f.result(timeout=300) for f in futs]
+        assert len(results) == 24
+        assert all(len(r["tokens"]) > 0 for r in results)
+        assert svc._worker.is_alive()  # batcher survived the concurrency
+        st = svc.stats()
+        assert st["requests"] == 24 and st["errors"] == 0
+    finally:
+        stop.set()
+        pt.join(timeout=5)
+        svc.close()

@@ -684,3 +684,31 @@ def test_concurrent_submit_stress(setup):
         stop.set()
         pt.join(timeout=5)
         svc.close()
+
+
+def test_defer_saturation_guard(setup, monkeypatch):
+    """Saturation-aware defer (queue30 on-chip finding): when the stable
+    target exceeds the defer-down bucket, the batcher dispatches the whole
+    batch padded upward instead of pinning itself at b_down-sized
+    dispatches forever."""
+    monkeypatch.setattr(CaptionService, "_run", lambda self: None)
+    cfg, params = setup
+    svc = CaptionService(cfg, params,
+                         serve_cfg=ServeConfig(buckets=(8, 32),
+                                               stable_margin=1.5))
+    try:
+        now = time.monotonic()
+        svc._arrivals.extend([now - 0.03 * i for i in range(67)])  # ~33 rps
+        # 8-bucket nominal 8/0.2s = 40 cps < 33*1.5 -> stable target is 32
+        svc._bucket_ms = {8: 200.0, 32: 300.0}
+        assert svc._stable_target(33.0)[0] == 32
+        assert svc._defer_would_saturate(10, 8) is True
+        # light rate: 8-bucket suffices -> defer allowed
+        svc._arrivals.clear()
+        svc._arrivals.extend([now - 0.4 * i for i in range(8)])  # ~2.5 rps
+        assert svc._defer_would_saturate(10, 8) is False
+        # knob off / no data -> defer allowed
+        svc._bucket_ms = {}
+        assert svc._defer_would_saturate(10, 8) is False
+    finally:
+        svc.close()

@@ -99,7 +99,12 @@ class ServeConfig:
     # traffic (n == 1 after collect) never waits, so the closed-loop latency
     # floor is unchanged.
     fill_to_stable: bool = True
-    stable_margin: float = 1.2
+    # 1.5: the nominal bucket capacity (b / decode_ms) is optimistic — each
+    # cycle also pays collect/fill waits and python dispatch, and the first
+    # on-chip A/B (queue30) showed margin 1.2 picking an 8-bucket whose
+    # 48.9 cps nominal capacity saturated at a 40 rps offered rate (p50
+    # stayed ~2.2 s). The margin must absorb the non-decode cycle overhead.
+    stable_margin: float = 1.5
 
 
 class CaptionService:
@@ -519,13 +524,31 @@ class CaptionService:
         b_down = max((b for b in bs if b <= n), default=None)
         b_up = next((b for b in bs if b >= n), None)
         if (b_down is not None and b_up is not None and n != b_up
-                and (n - b_down) < min(b_up - n, b_down)):
+                and (n - b_down) < min(b_up - n, b_down)
+                and not self._defer_would_saturate(n, b_down)):
             with self._lock:
                 self._stats["deferred_rows"] += n - b_down
             self._dispatch(items[:b_down])
             return items[b_down:]
         self._dispatch(items)
         return []
+
+    def _defer_would_saturate(self, n: int, b_down: int) -> bool:
+        """True when deferring down to b_down-sized dispatches cannot keep
+        up with the measured arrival rate. Without this check the defer
+        policy is SELF-SUSTAINING under saturation (queue30 on-chip A/B):
+        dispatch b_down, carry the remainder, one dispatch-time of arrivals
+        lands the next batch back in the defer band, forever — batches pin
+        at b_down while the queue and p50 grow without bound. When the
+        stable-target bucket exceeds b_down, dispatch the whole batch
+        padded upward instead (throughput over padding efficiency)."""
+        if not self.scfg.fill_to_stable or n <= 1 or not self._bucket_ms:
+            return False
+        rate = self._arrival_rate()
+        if rate is None:
+            return False
+        target, _ = self._stable_target(rate)
+        return target > b_down
 
     def _dispatch(self, items: list) -> None:
         now = time.monotonic()

@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 N_WIN = int(os.environ.get("PROBE_WINDOWS", 128))
 K = int(os.environ.get("PROBE_K", 0))
 REPS = int(os.environ.get("PROBE_REPS", 30))
-ROWS = 4096  # window = [1, ROWS, 1024] bf16 = 8 MB
 # Variables that differ between this minimal kernel and the decode kernel —
 # candidate overlap-killers to isolate if K=1 ~= K=0 here but the decode
 # kernel is additive:
@@ -50,6 +49,12 @@ ROWS = 4096  # window = [1, ROWS, 1024] bf16 = 8 MB
 #     kernel's pos-based elision) — dynamic indices may defeat lookahead
 EXTRA_OPS = int(os.environ.get("PROBE_EXTRA_OPS", 0))
 DYNIDX = os.environ.get("PROBE_DYNIDX") == "1"
+# Window-size sweep (PROBE_ROWS): the K-ladder decomposes K=0's 17.7 us/step
+# (8 MB window) as ~8 us fixed per-grid-step overhead + native-BW DMA
+# (9.5 us at 840 GB/s) — if that holds, per-step time vs window size is
+# affine with slope 1/native-BW and intercept = the fixed overhead, and the
+# decode kernel's 1176-step grid carries ~9 ms of pure step overhead.
+ROWS = int(os.environ.get("PROBE_ROWS", 4096))  # window = [1, ROWS, 1024] bf16
 
 
 def kernel(*refs):

@@ -5,10 +5,10 @@
 # point). Chains on queue32.
 SNAP=${1:?snapshot dir}
 LOG=${2:-/root/repo/scripts/logs_r5/bench_queue33.log}
-PREV=${3:-/root/repo/scripts/logs_r5/bench_queue32.log}
+PREV=${3:-/root/repo/scripts/logs_r5/bench_queue34.log}
 mkdir -p "$(dirname "$LOG")"
 for i in $(seq 1 360); do
-  grep -q ALL_DONE_QUEUE32 "$PREV" 2>/dev/null && break
+  grep -q ALL_DONE_QUEUE34 "$PREV" 2>/dev/null && break
   sleep 30
 done
 cd "$SNAP"

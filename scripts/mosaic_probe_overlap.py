@@ -55,13 +55,19 @@ DYNIDX = os.environ.get("PROBE_DYNIDX") == "1"
 # affine with slope 1/native-BW and intercept = the fixed overhead, and the
 # decode kernel's 1176-step grid carries ~9 ms of pure step overhead.
 ROWS = int(os.environ.get("PROBE_ROWS", 4096))  # window = [1, ROWS, 1024] bf16
+# Step-fusion premise test (PROBE_NOPS=N): fetch the SAME total bytes as N
+# full-size window operands per grid step over N_WIN/N steps. If per-step
+# overhead dominates (affine model), time drops toward bytes/native-BW as N
+# grows — the premise behind fusing decode time-chunk phases (multiple
+# cache-window operands per step, per-window elision preserved).
+NOPS = int(os.environ.get("PROBE_NOPS", 1))
 
 
 def kernel(*refs):
     if DYNIDX:
-        _sp, win_ref, carry_ref, *rest = refs
-    else:
-        win_ref, carry_ref, *rest = refs
+        _sp, *refs = refs
+    win_refs, refs = refs[:NOPS], refs[NOPS:]
+    carry_ref, *rest = refs
     extra = rest[:EXTRA_OPS]
     out_ref, a_s, acc_s = rest[EXTRA_OPS], rest[EXTRA_OPS + 1], rest[EXTRA_OPS + 2]
     i = pl.program_id(0)
@@ -81,8 +87,9 @@ def kernel(*refs):
             jnp.dot(a, a, preferred_element_type=jnp.float32) * 1e-3,
             0.5, 1.5)
 
-    # touch a corner of the fetched window so its copy cannot be elided
-    acc_s[...] = acc_s[...] + win_ref[0, :8, :128].astype(jnp.float32)
+    # touch a corner of each fetched window so no copy can be elided
+    for w in win_refs:
+        acc_s[...] = acc_s[...] + w[0, :8, :128].astype(jnp.float32)
     for e in extra:
         acc_s[...] = acc_s[...] + e[0, :8, :128].astype(jnp.float32)
 
@@ -98,23 +105,28 @@ def main():
                                 (N_WIN, 8, 128), jnp.bfloat16)
               for e in range(EXTRA_OPS)]
 
+    assert N_WIN % NOPS == 0
+    n_steps = N_WIN // NOPS
+    # NOPS window operands per step, interleaved: step i, operand j reads
+    # window i*NOPS + j (all operands view the same HBM array)
     if DYNIDX:
         # window index comes from a scalar-prefetch permutation (the decode
         # kernel's pos-elision pattern: index maps read pos_ref)
-        def win_idx(i, perm_ref):
-            return (perm_ref[i], 0, 0)
+        def mk_win_idx(j):
+            return lambda i, perm_ref: (perm_ref[i * NOPS + j], 0, 0)
 
         def small_idx(i, perm_ref):
             return (0, 0)
 
         def extra_idx(i, perm_ref):
-            return (perm_ref[i], 0, 0)
+            return (perm_ref[jnp.minimum(i, N_WIN - 1)], 0, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(N_WIN,),
-            in_specs=[pl.BlockSpec((1, ROWS, 1024), win_idx),
-                      pl.BlockSpec((8, 128), small_idx)]
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec((1, ROWS, 1024), mk_win_idx(j))
+                      for j in range(NOPS)]
+            + [pl.BlockSpec((8, 128), small_idx)]
             + [pl.BlockSpec((1, 8, 128), extra_idx) for _ in range(EXTRA_OPS)],
             out_specs=pl.BlockSpec((8, 128), small_idx),
             scratch_shapes=[pltpu.VMEM((1024, 1024), jnp.float32),
@@ -131,13 +143,17 @@ def main():
         perm = jnp.arange(N_WIN, dtype=jnp.int32)
 
         def call(wins, carry, *extras):
-            return call0(perm, wins, carry, *extras)
+            return call0(perm, *([wins] * NOPS), carry, *extras)
     else:
-        call = pl.pallas_call(
+        def mk_win_idx_s(j):
+            return lambda i: (i * NOPS + j, 0, 0)
+
+        call0 = pl.pallas_call(
             kernel,
-            grid=(N_WIN,),
-            in_specs=[pl.BlockSpec((1, ROWS, 1024), lambda i: (i, 0, 0)),
-                      pl.BlockSpec((8, 128), lambda i: (0, 0))]
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec((1, ROWS, 1024), mk_win_idx_s(j))
+                      for j in range(NOPS)]
+            + [pl.BlockSpec((8, 128), lambda i: (0, 0))]
             + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))
                for _ in range(EXTRA_OPS)],
             out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
@@ -148,6 +164,9 @@ def main():
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=os.environ.get("PROBE_INTERPRET") == "1",
         )
+
+        def call(wins, carry, *extras):
+            return call0(*([wins] * NOPS), carry, *extras)
 
     @jax.jit
     def run(wins, carry0, *extras):

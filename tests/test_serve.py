@@ -614,7 +614,9 @@ def test_fill_to_stable_extends_collection(setup, monkeypatch):
     try:
         now = time.monotonic()
         svc._arrivals.extend([now - 0.1 * i for i in range(20)])  # ~10 rps
-        svc._bucket_ms = {1: 200.0, 2: 200.0, 4: 300.0}
+        # target = 4 (b1 5cps / b2 10cps < 10*1.5; b4 40cps passes) with a
+        # positive fill budget (4/(10*1.5) - 0.1 = 167 ms)
+        svc._bucket_ms = {1: 200.0, 2: 200.0, 4: 100.0}
         rows = _rows(cfg, 4, seed=71)
         items = [(r, None, now, None) for r in rows]
         svc._q.put((rows[2], None, now, None))
@@ -635,6 +637,13 @@ def test_fill_to_stable_extends_collection(setup, monkeypatch):
         svc._bucket_ms = {}
         out3 = svc._fill_to_stable(items[:2])
         assert len(out3) == 2
+        # negative fill budget (decode alone consumes the stable cycle:
+        # 4/(10*1.5) = 267 ms < d=300) -> dispatch now, never wait (the
+        # queue32 6.2 s regression at 20 rps)
+        svc._bucket_ms = {1: 200.0, 2: 200.0, 4: 300.0}
+        t0 = time.monotonic()
+        out4 = svc._fill_to_stable(items[:2])
+        assert len(out4) == 2 and time.monotonic() - t0 < 0.05
     finally:
         svc.close()
 

@@ -473,8 +473,18 @@ class CaptionService:
         if n >= target:
             return items
         fill_s = (target - n) / rate * 1.25
-        if d_ms is not None:  # waiting longer than one target decode never pays
-            fill_s = min(fill_s, d_ms / 1e3)
+        # the fill wait is part of the service cycle: capacity with fill is
+        # target / (decode + fill), so the fill budget is what keeps that
+        # capacity at rate*margin — NOT "one decode time" (queue32 on-chip:
+        # a decode-time cap at 20 rps made cycle = fill 199 + decode 199 ms
+        # per 8-bucket = 19.6 cps capacity at 20 offered — marginally
+        # saturated, p50 6.2 s)
+        budget_s = target / (rate * self.scfg.stable_margin)
+        if d_ms is not None:
+            budget_s -= d_ms / 1e3
+        fill_s = min(fill_s, budget_s)
+        if fill_s <= 0:
+            return items
         deadline = time.monotonic() + fill_s
         while len(items) < target and not self._closed.is_set():
             remaining = deadline - time.monotonic()

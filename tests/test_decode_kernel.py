@@ -875,3 +875,56 @@ def test_ffn_shadow_schedule_rejects_bad_geometry(setup):
         for k in ("VACNIC_PLAN_FFNSHADOW", "VACNIC_PLAN_NSELF",
                   "VACNIC_PLAN_NCROSS", "VACNIC_PLAN_NFFN"):
             os.environ.pop(k, None)
+
+
+def test_t_fuse_parity(setup):
+    """Time-chunk phase fusion (t_fuse=2): two time chunks per grid step via
+    even/odd window operands. Exact parity vs the XLA reference across
+    decode positions that exercise last_tc = 0 (odd operand fetched but
+    unused), odd, and even last chunks. Uses n_t=4 so fusion is non-trivial
+    (T=16, tb=4)."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    plan = ChunkPlan(n_self=2, n_cross=2, n_ffn=2, n_t=4, t_fuse=2)
+    ref = jax.jit(lambda c, t, p: DF.decode_step(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32))
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=plan,
+        interpret=True))
+
+    def roll(step_fn, cache, n=13):
+        tok = jnp.full((bk, 1), 2, jnp.int32)
+        toks = []
+        for pos in range(n):  # crosses tb=4 boundaries: last_tc 0,1,2,3
+            logits, cache = step_fn(cache, tok, jnp.int32(pos))
+            tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+            toks.append(np.asarray(tok[:, 0]))
+        return np.stack(toks), logits
+
+    ref_toks, ref_logits = roll(ref, cache)
+    pal_toks, pal_logits = roll(pal, cache_tm)
+    np.testing.assert_array_equal(pal_toks, ref_toks)
+    np.testing.assert_allclose(np.asarray(pal_logits), np.asarray(ref_logits),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_t_fuse_with_ffn_shadow_parity(setup):
+    """The two r5 phase-restructuring variants compose: t_fuse=2 +
+    ffn_shadow=1 must still match the XLA reference exactly."""
+    cfg, params, dp, cache, cache_tm, enc_bias = setup
+    bk = BATCH * BEAMS
+    plan = ChunkPlan(n_self=2, n_cross=2, n_ffn=2, n_t=4, t_fuse=2,
+                     ffn_shadow=1)
+    ref = jax.jit(lambda c, t, p: DF.decode_step(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32))
+    pal = jax.jit(lambda c, t, p: DF.decode_step_pallas(
+        dp, params, c, t, p, enc_bias, cfg, dtype=jnp.float32, plan=plan,
+        interpret=True))
+    tok = jnp.full((bk, 1), 2, jnp.int32)
+    c_r, c_p = cache, cache_tm
+    for pos in range(6):
+        rl, c_r = ref(c_r, tok, jnp.int32(pos))
+        pl_, c_p = pal(c_p, tok, jnp.int32(pos))
+        np.testing.assert_allclose(np.asarray(pl_), np.asarray(rl),
+                                   atol=5e-2, rtol=5e-2)
+        tok = jnp.argmax(rl, axis=-1)[:, None].astype(jnp.int32)

@@ -680,12 +680,23 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
                 "schedule's x1 dependency; running without it", n_self,
                 n_cross, n_ffn)
             ffn_shadow = 0
+    # time-chunk phase fusion (r5 grid-step-overhead lever): 2 = two time
+    # chunks per grid step via even/odd window operands (elision preserved;
+    # ~10 MB extra VMEM for the second double-buffered window pair). Only
+    # legal with the default gather path at even n_t.
+    t_fuse = int(os.environ.get("VACNIC_PLAN_TFUSE", 1))
+    if t_fuse not in (1, 2) or n_t % t_fuse or (t_fuse == 2 and (
+            os.environ.get("VACNIC_SELFKV_INT8") == "1"
+            or os.environ.get("VACNIC_SELFKV_FP8") == "1"
+            or int(os.environ.get("VACNIC_GATHER_V2", 0)))):
+        t_fuse = 1
     return ChunkPlan(
         n_self=n_self,
         n_cross=n_cross,
         n_ffn=n_ffn,
         n_t=n_t,
         n_lm=n_lm,
+        t_fuse=t_fuse,
         vmem_mb=int(os.environ.get("VACNIC_PLAN_VMEM",
                                     ChunkPlan._field_defaults["vmem_mb"])),
         gather_v2=int(os.environ.get("VACNIC_GATHER_V2",

@@ -100,6 +100,18 @@ class ChunkPlan(NamedTuple):
     # whenever n_ffn >= 2 (n_ffn == 1 uses stride 2). Jobs that don't fit in
     # n_cross phases spill into `extra_phases` tail phases per layer.
     ffn_shadow: int = 0
+    # Time-chunk phase fusion (r5, grid-step-overhead lever from the queue31
+    # K-ladder / queue34 decomposition): 2 = process TWO time chunks per
+    # grid step through SEPARATE window operands (self_k/v + ancestry each
+    # get an even-chunk and an odd-chunk operand, so per-chunk pos-elision
+    # is preserved) — halves the self-phase count. Cost: the odd operand
+    # fetches one unneeded chunk while last_tc == 0 (early decode steps),
+    # and the extra window buffers add ~10 MB VMEM. 1 = off.
+    t_fuse: int = 1
+
+    @property
+    def n_t_phases(self) -> int:
+        return self.n_t // self.t_fuse
 
     @property
     def ffn_stride(self) -> int:
@@ -115,7 +127,7 @@ class ChunkPlan(NamedTuple):
 
     @property
     def phases(self) -> int:
-        body = self.n_self * self.n_t + self.n_cross
+        body = self.n_self * self.n_t_phases + self.n_cross
         body += self.extra_phases if self.ffn_shadow else self.n_ffn
         # the LM head (if on) runs on an extra grid iteration reusing these
         return max(body, self.n_lm)
@@ -147,6 +159,9 @@ def _kernel(
                    #                       self_quant; beam-aligned in-kernel
                    #                       via the ancestry one-hot)
     anc_ref,       # [TB, BKC, BKC] — ancestry one-hot (legacy gather; dummy if v2)
+    self_k2_ref,   # [1, TB, BKC, D] — ODD-chunk self K window (t_fuse=2; dummy else)
+    self_v2_ref,   # [1, TB, BKC, D] — ODD-chunk self V window (t_fuse=2; dummy else)
+    anc_b_ref,     # [TB, BKC, BKC] — ODD-chunk ancestry one-hot (t_fuse=2; dummy else)
     ancT_ref,      # [1, TB, BKC(r), BKC(c)] — transposed one-hot (v2; dummy else)
     anc2_ref,      # [1, TB·BKC(t·r), BKC(c)] — row-major (t,r) one-hot (v2)
     cross_k_ref,   # [1, BC, H, hd, S] bf16 (or int8 when quant)
@@ -194,7 +209,8 @@ def _kernel(
     n_layers = pl.num_programs(0) - (1 if use_lm else 0)
     pos = pos_ref[0]
     n_t = plan.n_t
-    ns = plan.n_self * n_t
+    n_tp = plan.n_t_phases  # grid phases per row chunk (n_t unless t_fuse)
+    ns = plan.n_self * n_tp
     # exact gelu via the shared Mosaic-safe rational erf (mosaic_math)
     act = mosaic_act(act_name)
 
@@ -205,9 +221,11 @@ def _kernel(
     S = cross_k_ref.shape[4]
     H, hd = cfg_heads, cfg_hd
     scaling = hd**-0.5
-    chunk = p // n_t        # self row chunk (valid while p < ns)
-    tc = p % n_t            # time chunk within the row chunk
+    chunk = p // n_tp       # self row chunk (valid while p < ns)
+    tcq = p % n_tp          # phase index within the row chunk
+    tc = tcq * plan.t_fuse  # first time chunk this phase handles
     last_tc = pos // tb     # last time chunk holding rows <= pos
+    last_tcq = last_tc // plan.t_fuse  # phase holding the last time chunk
 
     # block-diagonal head selector [D, H]: SEL[dd, h] = 1 iff dd // hd == h
     dd_ids = jax.lax.broadcasted_iota(jnp.int32, (d, H), 0)
@@ -240,9 +258,11 @@ def _kernel(
             s = _touch(x0_ref, w_qkv_ref, b_qkv_ref, w_so_ref, ln_s_ref,
                        self_k_ref, self_v_ref, sk_scale_ref, sv_scale_ref,
                        anc_ref, ancT_ref, anc2_ref)
+            if plan.t_fuse == 2:
+                s = s + _touch(self_k2_ref, self_v2_ref, anc_b_ref)
             m_s[...] = jnp.full(m_s.shape, s, jnp.float32)
 
-            @pl.when(tc == 0)
+            @pl.when(tcq == 0)
             def _sk_store():
                 k_new_ref[0] = self_k_ref[0, 0].astype(k_new_ref.dtype)
                 v_new_ref[0] = self_v_ref[0, 0].astype(v_new_ref.dtype)
@@ -295,7 +315,7 @@ def _kernel(
     def _self_attn():
         rows = pl.ds(chunk * bkc, bkc)
 
-        @pl.when(tc == 0)
+        @pl.when(tcq == 0)
         def _init_chunk():
             x_in = x_s[rows, :]
             qkv = (jnp.dot(x_in.astype(mm_dtype), w_qkv_ref[0].astype(mm_dtype),
@@ -324,8 +344,7 @@ def _kernel(
             att_s[...] = jnp.zeros((bkc, d), jnp.float32)
             pap_s[...] = jnp.zeros((bkc, d), jnp.float32)
 
-        @pl.when(tc <= last_tc)
-        def _time_chunk():
+        def do_time_chunk(tc, self_k_ref, self_v_ref, anc_ref):
             qm = q_s[...]
             gt = jax.lax.broadcasted_iota(jnp.int32, (tb, bkc, H), 0) + tc * tb
             # Mosaic cannot store at a dynamic sublane index (bf16 packing),
@@ -453,7 +472,20 @@ def _kernel(
                               axis=0)
                 pap_s[...] = alpha_d * pap_s[...] + pap
 
-        @pl.when(tc == last_tc)
+        # one (t_fuse == 1) or two (t_fuse == 2) time chunks per grid step;
+        # the fused sub-chunk reads its OWN window operands (even/odd split
+        # preserves per-chunk pos-elision) and runs strictly after the
+        # first — the online-softmax update order is unchanged.
+        @pl.when(tc <= last_tc)
+        def _sub0():
+            do_time_chunk(tc, self_k_ref, self_v_ref, anc_ref)
+
+        if plan.t_fuse == 2:
+            @pl.when(tc + 1 <= last_tc)
+            def _sub1():
+                do_time_chunk(tc + 1, self_k2_ref, self_v2_ref, anc_b_ref)
+
+        @pl.when(tcq == last_tcq)
         def _finish_chunk():
             l_d = jnp.dot(l_s[...].astype(mm_dtype), sel.T,
                           preferred_element_type=jnp.float32)  # [C, d]
@@ -659,7 +691,7 @@ def decode_stack(
             "plan would be wrong (use a divisor of T)",
             stacklevel=2,
         )
-        plan = plan._replace(n_t=1)
+        plan = plan._replace(n_t=1, t_fuse=1)
     n_t = plan.n_t
     tb = T // n_t
     fc = dp.w_fc1.shape[2] // plan.n_ffn
@@ -717,9 +749,15 @@ def decode_stack(
     # the last 210 MB of the b512 HBM gap (VACNIC_CACHE_PAD_PALLAS=4).
     assert dp.w_fc1.shape[2] % plan.n_ffn == 0 and T % 4 == 0
     assert not use_lm or (vp % plan.n_lm == 0 and b_lm.shape == (1, vp))
+    tf = plan.t_fuse
+    assert tf in (1, 2) and n_t % tf == 0, f"t_fuse={tf} needs n_t % t_fuse == 0"
+    # the fused odd-chunk operands are only built for the default path
+    assert tf == 1 or not (self_quant or plan.gather_v2), \
+        "t_fuse=2 is not built for int8 self-KV or gather_v2"
 
     n_self, n_cross = plan.n_self, plan.n_cross
-    ns = n_self * n_t
+    n_tp = plan.n_t_phases
+    ns = n_self * n_tp
 
     # All per-layer block indices clamp l to the last real layer: the extra
     # LM-head iteration (l == L) must not walk indices around (a changed
@@ -728,21 +766,41 @@ def decode_stack(
         return lambda l, p, pos_ref: (jnp.minimum(l, L - 1), *idx)
 
     def self_chunk(l, p, pos_ref):
-        return jnp.where(l >= L, n_self - 1, jnp.clip(p // n_t, 0, n_self - 1))
+        return jnp.where(l >= L, n_self - 1, jnp.clip(p // n_tp, 0, n_self - 1))
 
     def self_tc(l, p, pos_ref):
         # time chunks beyond the decoded prefix map to the last needed chunk:
         # consecutive identical block indices are not re-fetched, so the
-        # skipped chunks cost no HBM traffic.
+        # skipped chunks cost no HBM traffic. With t_fuse this operand
+        # carries the EVEN chunks (tc = tf*q).
         last = pos_ref[0] // tb
-        return jnp.where((p >= ns) | (l >= L), last, jnp.minimum(p % n_t, last))
+        lastq = last // tf
+        return jnp.where((p >= ns) | (l >= L), tf * lastq,
+                         tf * jnp.minimum(p % n_tp, lastq))
+
+    def self_tc_b(l, p, pos_ref):
+        # ODD-chunk operand (t_fuse == 2 only): B(q) = 2*min(q, lqb) + 1
+        # where lqb indexes the last needed odd chunk. While last == 0 this
+        # fetches chunk 1 unused (elided thereafter) — the documented
+        # early-step waste of the fusion.
+        last = pos_ref[0] // tb
+        lqb = jnp.maximum(last - 1, 0) // 2
+        return jnp.where((p >= ns) | (l >= L), 2 * lqb + 1,
+                         2 * jnp.minimum(p % n_tp, lqb) + 1)
 
     def self_cache_idx(l, p, pos_ref):
         return (jnp.minimum(l, L - 1), self_tc(l, p, pos_ref),
                 self_chunk(l, p, pos_ref), 0)
 
+    def self_cache_idx_b(l, p, pos_ref):
+        return (jnp.minimum(l, L - 1), self_tc_b(l, p, pos_ref),
+                self_chunk(l, p, pos_ref), 0)
+
     def anc_idx(l, p, pos_ref):
         return (self_tc(l, p, pos_ref), self_chunk(l, p, pos_ref), 0)
+
+    def anc_idx_b(l, p, pos_ref):
+        return (self_tc_b(l, p, pos_ref), self_chunk(l, p, pos_ref), 0)
 
     def cross_j(l, p, pos_ref):
         return jnp.where(l >= L, n_cross - 1, jnp.clip(p - ns, 0, n_cross - 1))
@@ -806,6 +864,15 @@ def decode_stack(
         (pl.BlockSpec((1, 1, 128), lambda l, p, pos_ref: (0, 0, 0))
          if plan.gather_v2 else
          pl.BlockSpec((tb, bkc, bkc), anc_idx)),                             # anc_hot
+        (pl.BlockSpec((1, tb, bkc, d), self_cache_idx_b)
+         if tf == 2 else
+         pl.BlockSpec((1, 1, 8, 128), lambda l, p, pos_ref: (0, 0, 0, 0))),  # self_k2
+        (pl.BlockSpec((1, tb, bkc, d), self_cache_idx_b)
+         if tf == 2 else
+         pl.BlockSpec((1, 1, 8, 128), lambda l, p, pos_ref: (0, 0, 0, 0))),  # self_v2
+        (pl.BlockSpec((tb, bkc, bkc), anc_idx_b)
+         if tf == 2 else
+         pl.BlockSpec((1, 8, 128), lambda l, p, pos_ref: (0, 0, 0))),        # anc_b
         (pl.BlockSpec((1, tb, bkc, bkc),
                       lambda l, p, pos_ref: (self_chunk(l, p, pos_ref),
                                              self_tc(l, p, pos_ref), 0, 0))
@@ -897,8 +964,13 @@ def decode_stack(
         dp.b_cross_out[:, None, :], dp.ln_cross,
         dp.w_fc1, dp.b_fc1[:, None, :], dp.w_fc2, dp.b_fc2[:, None, :],
         dp.ln_final,
-        self_k, self_v, self_k_scale, self_v_scale,
-        anc_in, ancT, anc2, cross_k, cross_v,
+        self_k, self_v, self_k_scale, self_v_scale, anc_in,
+        # fused odd-chunk operands view the SAME arrays (even/odd split
+        # happens in the index maps); tiny dummies when t_fuse == 1
+        self_k if tf == 2 else jnp.zeros((1, 1, 8, 128), self_k.dtype),
+        self_v if tf == 2 else jnp.zeros((1, 1, 8, 128), self_v.dtype),
+        anc_in if tf == 2 else jnp.zeros((1, 8, 128), anc_hot.dtype),
+        ancT, anc2, cross_k, cross_v,
         cross_k_scale, cross_v_scale, enc_bias, w_lm, b_lm,
     )
     return logits, x_out, k_new, v_new

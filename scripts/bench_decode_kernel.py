@@ -31,6 +31,7 @@ PLAN = ChunkPlan(
     n_ffn=int(os.environ.get("PLAN_FFN", 2)),
     vmem_mb=int(os.environ.get("PLAN_VMEM", 110)),
     ffn_shadow=int(os.environ.get("PLAN_FFNSHADOW", 0)),
+    t_fuse=int(os.environ.get("PLAN_TFUSE", 1)),
 )
 
 

@@ -72,7 +72,7 @@ def main() -> None:
     rate = float(os.environ.get("SERVE_RATE", "40"))
     n_req = int(os.environ.get("SERVE_N", "4" if tiny else "192"))
 
-    fill = os.environ.get("SERVE_FILL", "1") == "1"
+    fill = os.environ.get("SERVE_FILL", "0") == "1"
     svc = CaptionService(cfg, params,
                          serve_cfg=ServeConfig(buckets=buckets,
                                                max_wait_ms=wait_ms,

@@ -610,7 +610,8 @@ def test_fill_to_stable_extends_collection(setup, monkeypatch):
     monkeypatch.setattr(CaptionService, "_run", lambda self: None)
     svc = CaptionService(cfg, params,
                          serve_cfg=ServeConfig(buckets=(1, 2, 4),
-                                               max_wait_ms=1))
+                                               max_wait_ms=1,
+                                               fill_to_stable=True))
     try:
         now = time.monotonic()
         svc._arrivals.extend([now - 0.1 * i for i in range(20)])  # ~10 rps

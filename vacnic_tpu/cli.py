@@ -468,7 +468,7 @@ def cmd_serve(args) -> int:
         max_wait_ms=args.max_wait_ms,
         input_kind=args.input_kind,
         default_deadline_ms=args.default_deadline_ms,
-        fill_to_stable=not args.no_fill_to_stable,
+        fill_to_stable=args.fill_to_stable,
         stable_margin=args.stable_margin,
     )
     service = CaptionService(cfg, params, tokenizer=tokenizer, serve_cfg=scfg,
@@ -741,13 +741,15 @@ def main(argv=None) -> int:
                     help="shed requests older than this at batch-form time "
                          "(504 over HTTP); per-request deadline_ms overrides")
     sp.add_argument("--no-precompile", action="store_true")
-    sp.add_argument("--no-fill-to-stable", action="store_true",
-                    help="disable arrival-rate-aware bucket escalation "
-                         "(fill-to-stable) — under load the batcher then "
-                         "dispatches whatever the max-wait window collected")
-    sp.add_argument("--stable-margin", type=float, default=1.2,
-                    help="fill-to-stable headroom: target bucket capacity "
-                         "must cover arrival_rate * margin")
+    sp.add_argument("--fill-to-stable", action="store_true",
+                    help="additionally WAIT (stability-bounded) to fill the "
+                         "stable-target bucket — measured to pin the service "
+                         "at marginal capacity under load; the no-wait "
+                         "saturation-aware defer is always on (serve.py)")
+    sp.add_argument("--stable-margin", type=float, default=1.5,
+                    help="stability headroom: a bucket is escalation-exempt "
+                         "only if its measured capacity covers "
+                         "arrival_rate * margin")
     sp.add_argument("--sharded", action="store_true",
                     help="data-parallel serving over all visible devices "
                          "(every bucket must be divisible by the data axis)")

@@ -88,22 +88,26 @@ class ServeConfig:
     max_queue: int = 4096
     input_kind: str = "image_cls"
     default_deadline_ms: float | None = None
-    # Fill-to-stable (r5, from the queue24/28 on-chip A/B): at 40 rps the
-    # batcher dispatched 8-buckets whose measured capacity (~50 cps) matched
-    # the offered rate — the service ran saturated and open-loop p50 sat at
-    # ~2.2 s of pure queueing while the 32-bucket (~90 cps) went unused.
-    # When enabled, the batcher tracks the arrival rate (2 s window) and
-    # per-bucket decode times (EWMA, seeded by precompile), and when more
-    # than one request is waiting it extends collection to fill the smallest
-    # bucket whose capacity >= arrival_rate * stable_margin. Single-stream
-    # traffic (n == 1 after collect) never waits, so the closed-loop latency
-    # floor is unchanged.
-    fill_to_stable: bool = True
+    # Timed fill-to-stable: when enabled, the batcher additionally WAITS
+    # (bounded by the stability budget) to fill the stable-target bucket.
+    # Default OFF after three on-chip A/Bs (queues 28/30/32/33): with fill
+    # waits, every cycle's capacity equals arrivals-per-cycle / cycle — the
+    # service runs marginally at the offered rate by construction and the
+    # initial backlog never drains (p50 pinned ~2.2 s at 40 rps). The
+    # no-wait system self-regulates: padding costs less than waiting
+    # (decode time grows sublinearly with bucket size), small-bucket fixed
+    # points are marginally stable, and any backlog blip dispatches
+    # full-bucket drain bursts at ~3x the offered rate. The part of the
+    # policy that IS always on (independent of this knob) is the
+    # saturation-aware defer: the batcher never defers down to a bucket
+    # whose measured capacity can't cover arrival_rate * stable_margin
+    # (_defer_would_saturate — it costs no wait).
+    fill_to_stable: bool = False
     # 1.5: the nominal bucket capacity (b / decode_ms) is optimistic — each
-    # cycle also pays collect/fill waits and python dispatch, and the first
-    # on-chip A/B (queue30) showed margin 1.2 picking an 8-bucket whose
-    # 48.9 cps nominal capacity saturated at a 40 rps offered rate (p50
-    # stayed ~2.2 s). The margin must absorb the non-decode cycle overhead.
+    # cycle also pays collect waits and python dispatch, and the queue30
+    # on-chip A/B showed margin 1.2 picking an 8-bucket whose 48.9 cps
+    # nominal capacity saturated at a 40 rps offered rate. The margin must
+    # absorb the non-decode cycle overhead.
     stable_margin: float = 1.5
 
 
@@ -552,7 +556,7 @@ class CaptionService:
         at b_down while the queue and p50 grow without bound. When the
         stable-target bucket exceeds b_down, dispatch the whole batch
         padded upward instead (throughput over padding efficiency)."""
-        if not self.scfg.fill_to_stable or n <= 1 or not self._bucket_ms:
+        if n <= 1 or not self._bucket_ms:
             return False
         rate = self._arrival_rate()
         if rate is None:

@@ -1,8 +1,12 @@
 #!/bin/bash
-# Round-5 queue 37: t_fuse=2 A/B at b256 (parity -> model step -> e2e pair).
-# Chains on queue36. Only worth running if queue35's NOPS arms show
-# parallel-stream BW aggregation; the runner checks nothing — read the
-# NOPS results before interpreting.
+# Round-5 queue 37 (rewritten): ffn_shadow + NFFN=1 A/B. The queue35 NOPS
+# probes killed t_fuse's premise (no parallel-stream BW aggregation) but
+# showed compute hides fully under per-step copies; the original shadow
+# loss is attributed to the n_ffn=2 fc-column PING-PONG refetch (jobs
+# alternate f=0,1 per phase -> ~3 GB/step of fc window refetches). With
+# n_ffn=1 the fc blocks are layer-constant (fetched once) and the FFN's
+# ~2.2 ms of exposed compute lands under the cross fetch stream.
+# Chains on queue36.
 SNAP=${1:?snapshot dir}
 LOG=${2:-/root/repo/scripts/logs_r5/bench_queue37.log}
 PREV=${3:-/root/repo/scripts/logs_r5/bench_queue36.log}
@@ -21,10 +25,13 @@ run() {
   timeout "$to" "$@" >> "$LOG" 2>&1
   echo "=== $name rc=$? end $(date +%H:%M:%S) ===" >> "$LOG"
 }
-run parity_tfuse 1800 env BENCH_MODE=parity PLAN_TFUSE=2 \
-  python scripts/bench_decode_kernel.py
+run model_shadow1_i8 2400 env BENCH_BATCH=256 BENCH_PART=model PROF_INT8=1 \
+  VACNIC_PLAN_FFNSHADOW=1 VACNIC_PLAN_NFFN=1 python scripts/profile_decode_b128.py
+run model_base_i8b 2400 env BENCH_BATCH=256 BENCH_PART=model PROF_INT8=1 \
+  python scripts/profile_decode_b128.py
 run model_tfuse_i8 2400 env BENCH_BATCH=256 BENCH_PART=model PROF_INT8=1 \
   VACNIC_PLAN_TFUSE=2 python scripts/profile_decode_b128.py
-run bench_tfuse 3600 env VACNIC_PLAN_TFUSE=2 BENCH_LATENCY=0 python bench.py
+run bench_shadow1 3600 env VACNIC_PLAN_FFNSHADOW=1 VACNIC_PLAN_NFFN=1 \
+  BENCH_LATENCY=0 python bench.py
 run bench_base_pair 3600 env BENCH_LATENCY=0 python bench.py
 echo ALL_DONE_QUEUE37 >> "$LOG"

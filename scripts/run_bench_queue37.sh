@@ -26,12 +26,12 @@ run() {
   echo "=== $name rc=$? end $(date +%H:%M:%S) ===" >> "$LOG"
 }
 run model_shadow1_i8 2400 env BENCH_BATCH=256 BENCH_PART=model PROF_INT8=1 \
-  VACNIC_PLAN_FFNSHADOW=1 VACNIC_PLAN_NFFN=1 python scripts/profile_decode_b128.py
+  VACNIC_PLAN_FFNSHADOW=1 VACNIC_PLAN_NFFN=1 VACNIC_PLAN_VMEM=127 python scripts/profile_decode_b128.py
 run model_base_i8b 2400 env BENCH_BATCH=256 BENCH_PART=model PROF_INT8=1 \
   python scripts/profile_decode_b128.py
 run model_tfuse_i8 2400 env BENCH_BATCH=256 BENCH_PART=model PROF_INT8=1 \
   VACNIC_PLAN_TFUSE=2 python scripts/profile_decode_b128.py
-run bench_shadow1 3600 env VACNIC_PLAN_FFNSHADOW=1 VACNIC_PLAN_NFFN=1 \
+run bench_shadow1 3600 env VACNIC_PLAN_FFNSHADOW=1 VACNIC_PLAN_NFFN=1 VACNIC_PLAN_VMEM=127 \
   BENCH_LATENCY=0 python bench.py
 run bench_base_pair 3600 env BENCH_LATENCY=0 python bench.py
 echo ALL_DONE_QUEUE37 >> "$LOG"

@@ -105,26 +105,40 @@ def main() -> None:
         result["closed_loop_p50_ms"] = round(statistics.median(lat), 1)
         result["closed_loop_runs_ms"] = [round(x, 1) for x in lat]
 
-        # phase 2: open-loop Poisson arrivals at SERVE_RATE req/s
+        # phase 2: open-loop Poisson arrivals at SERVE_RATE req/s.
+        # Latency is captured by DONE-CALLBACKS at resolution time — NOT by
+        # observing futures after the driver joins. The original harness
+        # measured submit-to-OBSERVATION, and observation could not start
+        # until ALL submissions finished, so every recorded open-loop p50
+        # (queues 24-36) was just half the submission span (n/rate/2):
+        # 20 rps -> 6.4 s, 40 -> 2.4 s, 80 -> 1.6 s — exactly the
+        # "saturation plateaus" measured, insensitive to every policy.
         rng = np.random.RandomState(7)
         futs: list = [None] * n_req
         t_in: list = [0.0] * n_req
+        t_done: list = [0.0] * n_req
+
+        def mk_cb(i):
+            def cb(_fut):
+                t_done[i] = time.perf_counter()
+            return cb
 
         def drive():
             for i in range(n_req):
                 time.sleep(float(rng.exponential(1.0 / rate)))
                 t_in[i] = time.perf_counter()
-                futs[i] = svc.submit(rows[i])
+                fut = svc.submit(rows[i])
+                fut.add_done_callback(mk_cb(i))
+                futs[i] = fut
 
         t_start = time.perf_counter()
         th = threading.Thread(target=drive)
         th.start()
         th.join()
-        waits = []
         for i in range(n_req):
             futs[i].result(timeout=600)
-            waits.append((time.perf_counter() - t_in[i]) * 1e3)
         span = time.perf_counter() - t_start
+        waits = [(t_done[i] - t_in[i]) * 1e3 for i in range(n_req)]
         st = svc.stats()
         result.update({
             "offered_rate_rps": rate,

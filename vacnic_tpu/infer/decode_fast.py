@@ -658,12 +658,20 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     n_ffn = int(os.environ.get("VACNIC_PLAN_NFFN", nf_default))
     if n_ffn < 1 or ffn_cols % n_ffn:  # 0/negative would ZeroDivisionError
         n_ffn = nf_default
-    # FFN-in-fetch-shadow (r5 overlap lever): schedule the FFN jobs inside
-    # the cross-phase fetch stream instead of dedicated compute-only phases.
-    # Requires the job schedule to respect the x1 row dependency — only
-    # enabled when the geometry check passes (default plans: n_cross ==
-    # 2*n_self and n_ffn == 2, which satisfies it with equality).
-    ffn_shadow = int(os.environ.get("VACNIC_PLAN_FFNSHADOW", 0))
+    # FFN-in-fetch-shadow: schedule the FFN jobs inside the cross-phase
+    # fetch stream instead of dedicated compute-only phases. DEFAULT ON
+    # since r5 with n_ffn=1 (layer-constant fc windows — the n_ffn=2 job
+    # schedule alternates fc columns per phase, refetching the 8 MB window
+    # pair every job; that ping-pong is why the first shadow A/B lost).
+    # Measured (queue37, paired same-window, int8 cross-KV): model step
+    # 16.64 vs 17.32 ms; e2e b256 171.6 vs 168.1 cps. Requires the job
+    # schedule to respect the x1 row dependency — auto-disabled when the
+    # geometry check fails (default plans: n_cross == 2*n_self, which
+    # satisfies it).
+    env_shadow = os.environ.get("VACNIC_PLAN_FFNSHADOW")
+    ffn_shadow = int(env_shadow) if env_shadow is not None else 1
+    if ffn_shadow and env_shadow is None and "VACNIC_PLAN_NFFN" not in os.environ:
+        n_ffn = 1  # full-width fc blocks, fetched once per layer
     if ffn_shadow:
         bkc = bk // n_self
         rows_per_cross = (bk // b) * (b // n_cross)  # beams * bc
@@ -697,8 +705,12 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
         n_t=n_t,
         n_lm=n_lm,
         t_fuse=t_fuse,
+        # shadow default needs the 127 MB cap (full-width fc windows are
+        # +16 MB over the n_ffn=2 pair; measured fitting at b256, and
+        # generate_mm_robust degrades to the safe plan on a VMEM flake)
         vmem_mb=int(os.environ.get("VACNIC_PLAN_VMEM",
-                                    ChunkPlan._field_defaults["vmem_mb"])),
+                                    127 if ffn_shadow
+                                    else ChunkPlan._field_defaults["vmem_mb"])),
         gather_v2=int(os.environ.get("VACNIC_GATHER_V2",
                                       ChunkPlan._field_defaults["gather_v2"])),
         ffn_shadow=ffn_shadow,

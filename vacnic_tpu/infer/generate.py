@@ -376,7 +376,12 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
     # regime; at bkc=80 the program compiles but spills, 20.1 vs 8.0
     # ms/step r3 — a compile-probe cannot catch compile-success-but-slow).
     key = _plan_probe_key(bsz, dcfg, cfg)
-    if plan.n_lm > 0 and _LM_PLAN_OK.get(key, True):
+    # risky plan features that can hit the Mosaic VMEM/scoped-stack flake:
+    # the in-kernel LM head (<2 MB slack at bart-large) and the shadow-FFN
+    # default (full-width fc windows at vmem 127). Probe once per shape and
+    # degrade to the safe plan on the kernel's own rejection.
+    risky = plan.n_lm > 0 or plan.ffn_shadow
+    if risky and _LM_PLAN_OK.get(key, True):
         try:
             out = generate_mm(params, input_ids, attention_mask, image_features,
                               cfg, fcfg, dcfg, decode_plan=plan, **kw)
@@ -385,23 +390,28 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
         except Exception as e:  # Mosaic VMEM / scoped-stack rejection
             # Only the kernel's own VMEM/scoped-stack rejection selects the
             # fallback: a whole-program HBM OOM ("memory space hbm") is not
-            # the LM plan's fault — retrying n_lm=0 would OOM again with a
-            # less informative error and poison the probe cache (ADVICE r3
-            # #4). Mosaic messages name "vmem"/"scoped"/"mosaic"; XLA HBM
-            # OOMs name "hbm".
+            # the risky plan's fault — retrying the safe plan would OOM
+            # again with a less informative error and poison the probe
+            # cache (ADVICE r3 #4). Mosaic messages name "vmem"/"scoped"/
+            # "mosaic"; XLA HBM OOMs name "hbm".
             msg = str(e).lower()
-            is_lm_plan_flake = ("hbm" not in msg and any(
+            is_plan_flake = ("hbm" not in msg and any(
                 s in msg for s in ("vmem", "scoped", "mosaic")))
-            if not is_lm_plan_flake:
+            if not is_plan_flake:
                 raise
             _LM_PLAN_OK[key] = False
             import sys as _sys
 
-            print(f"generate_mm_robust: in-kernel LM head plan rejected "
-                  f"({type(e).__name__}); falling back to XLA LM head",
-                  file=_sys.stderr)
+            print(f"generate_mm_robust: risky decode plan rejected "
+                  f"({type(e).__name__}); falling back to the safe plan "
+                  f"(XLA LM head, dedicated FFN phases)", file=_sys.stderr)
+    ffn_cols_ = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
+    safe = plan._replace(
+        n_lm=0, ffn_shadow=0,
+        n_ffn=plan.n_ffn if not plan.ffn_shadow else (2 if ffn_cols_ % 2 == 0 else 1),
+        vmem_mb=min(plan.vmem_mb, 121))
     return generate_mm(params, input_ids, attention_mask, image_features,
-                       cfg, fcfg, dcfg, decode_plan=plan._replace(n_lm=0), **kw)
+                       cfg, fcfg, dcfg, decode_plan=safe, **kw)
 
 
 def _mm_encode(params, input_ids, attention_mask, image_features, cfg, fcfg,

@@ -729,8 +729,10 @@ def main(argv=None) -> int:
     sp.add_argument("--merges", default=None)
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8500)
-    sp.add_argument("--buckets", default="1,8,32",
-                    help="comma-separated static batch buckets (each = one XLA program)")
+    sp.add_argument("--buckets", default="1,8,32,64",
+                    help="comma-separated static batch buckets (each = one "
+                         "XLA program). Default ladder covers the measured "
+                         "frontier: 64 engages past ~80 rps (queue38)")
     sp.add_argument("--max-wait-ms", type=float, default=10.0,
                     help="batcher hold time for incomplete batches (latency/throughput dial)")
     sp.add_argument("--input-kind", choices=["image_cls", "pixels"], default="image_cls")

@@ -117,10 +117,21 @@ def main() -> None:
         futs: list = [None] * n_req
         t_in: list = [0.0] * n_req
         t_done: list = [0.0] * n_req
+        # Future.set_result wakes result() waiters BEFORE invoking done
+        # callbacks, so result() returning does not guarantee t_done[i] is
+        # written — count callbacks and wait for all of them (review
+        # finding: the last future's wait could read t_done 0.0).
+        all_done = threading.Event()
+        done_count = [0]
+        done_lock = threading.Lock()
 
         def mk_cb(i):
             def cb(_fut):
                 t_done[i] = time.perf_counter()
+                with done_lock:
+                    done_count[0] += 1
+                    if done_count[0] == n_req:
+                        all_done.set()
             return cb
 
         def drive():
@@ -137,6 +148,7 @@ def main() -> None:
         th.join()
         for i in range(n_req):
             futs[i].result(timeout=600)
+        assert all_done.wait(timeout=60), "done callbacks did not all fire"
         span = time.perf_counter() - t_start
         waits = [(t_done[i] - t_in[i]) * 1e3 for i in range(n_req)]
         st = svc.stats()

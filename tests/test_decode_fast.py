@@ -185,3 +185,25 @@ def test_plan_regime_stale_warning(monkeypatch, caplog):
         DF.choose_plan(320, 64, 64, 4096)  # warn-once: second call silent
     warns = [r for r in caplog.records if "beam_topk" in r.getMessage()]
     assert len(warns) == 1, [r.getMessage() for r in caplog.records]
+
+
+def test_shadow_auto_disable_restores_nffn(monkeypatch):
+    """When the DEFAULT shadow plan fails the geometry check, the shadow-only
+    n_ffn=1 override must revert to the plain default (a non-shadow plan
+    with full-width fc windows at the 121 MB cap is an unmeasured VMEM
+    regime — review finding)."""
+    from vacnic_tpu.infer import decode_fast as DF
+
+    for k in ("VACNIC_PLAN_FFNSHADOW", "VACNIC_PLAN_NFFN", "VACNIC_PLAN_VMEM"):
+        monkeypatch.delenv(k, raising=False)
+    # violating geometry: n_cross/n_self = 4 > 2 -> x1 dependency fails
+    monkeypatch.setenv("VACNIC_PLAN_NSELF", "2")
+    monkeypatch.setenv("VACNIC_PLAN_NCROSS", "8")
+    plan = DF.choose_plan(320, 64, 64, 4096)
+    assert plan.ffn_shadow == 0
+    assert plan.n_ffn == 2  # restored, not the shadow-only 1
+    # default geometry: shadow on with n_ffn=1 + vmem 127
+    monkeypatch.delenv("VACNIC_PLAN_NSELF")
+    monkeypatch.delenv("VACNIC_PLAN_NCROSS")
+    plan = DF.choose_plan(1280, 256, 64, 4096)
+    assert plan.ffn_shadow == 1 and plan.n_ffn == 1 and plan.vmem_mb == 127

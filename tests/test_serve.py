@@ -669,11 +669,18 @@ def test_concurrent_submit_stress(setup):
                 futs.append(f)
             time.sleep(0.002 * (j % 3))
 
+    poller_errors: list = []
+
     def poller():
-        while not stop.is_set():
-            s = svc.stats()  # iterates _bucket_ms/_lat_ring under the lock
-            assert "bucket_decode_ms" in s
-            time.sleep(0.001)
+        try:
+            while not stop.is_set():
+                s = svc.stats()  # iterates _bucket_ms/_lat_ring under lock
+                assert "bucket_decode_ms" in s
+                time.sleep(0.001)
+        except BaseException as e:  # surfaced in the MAIN thread below —
+            # an exception dying in a helper thread cannot fail the test
+            # (review finding)
+            poller_errors.append(e)
 
     try:
         threads = [threading.Thread(target=submitter, args=(i,))
@@ -694,6 +701,7 @@ def test_concurrent_submit_stress(setup):
         stop.set()
         pt.join(timeout=5)
         svc.close()
+    assert not poller_errors, poller_errors
 
 
 def test_defer_saturation_guard(setup, monkeypatch):

@@ -670,7 +670,9 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
     # satisfies it).
     env_shadow = os.environ.get("VACNIC_PLAN_FFNSHADOW")
     ffn_shadow = int(env_shadow) if env_shadow is not None else 1
-    if ffn_shadow and env_shadow is None and "VACNIC_PLAN_NFFN" not in os.environ:
+    shadow_forced_nffn = (ffn_shadow and env_shadow is None
+                          and "VACNIC_PLAN_NFFN" not in os.environ)
+    if shadow_forced_nffn:
         n_ffn = 1  # full-width fc blocks, fetched once per layer
     if ffn_shadow:
         bkc = bk // n_self
@@ -683,11 +685,17 @@ def choose_plan(bk: int, b: int, t_max: int, ffn_cols: int):
             import logging
 
             logging.getLogger(__name__).warning(
-                "VACNIC_PLAN_FFNSHADOW=1 requested but the plan geometry "
-                "(n_self=%d n_cross=%d n_ffn=%d) violates the shadow "
-                "schedule's x1 dependency; running without it", n_self,
-                n_cross, n_ffn)
+                "ffn_shadow (%s) disabled: the plan geometry (n_self=%d "
+                "n_cross=%d n_ffn=%d) violates the shadow schedule's x1 "
+                "dependency; running with dedicated FFN phases",
+                "env-requested" if env_shadow is not None else "default",
+                n_self, n_cross, n_ffn)
             ffn_shadow = 0
+            if shadow_forced_nffn:
+                # undo the shadow-only n_ffn=1 override: a non-shadow plan
+                # with full-width fc windows at the 121 MB cap is a VMEM
+                # regime the baseline never measured (review finding)
+                n_ffn = nf_default
     # time-chunk phase fusion (r5 grid-step-overhead lever): 2 = two time
     # chunks per grid step via even/odd window operands (elision preserved;
     # ~10 MB extra VMEM for the second double-buffered window pair). Only

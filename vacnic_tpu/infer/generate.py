@@ -405,11 +405,28 @@ def generate_mm_robust(params, input_ids, attention_mask, image_features,
             print(f"generate_mm_robust: risky decode plan rejected "
                   f"({type(e).__name__}); falling back to the safe plan "
                   f"(XLA LM head, dedicated FFN phases)", file=_sys.stderr)
-    ffn_cols_ = params["decoder"]["layers"][0]["fc1"]["kernel"].shape[1]
-    safe = plan._replace(
-        n_lm=0, ffn_shadow=0,
-        n_ffn=plan.n_ffn if not plan.ffn_shadow else (2 if ffn_cols_ % 2 == 0 else 1),
-        vmem_mb=min(plan.vmem_mb, 121))
+    if not risky:
+        # nothing to degrade: run the plan exactly as chosen (an explicit
+        # env sweep like VACNIC_PLAN_VMEM=127 must not be silently clamped
+        # — review finding)
+        return generate_mm(params, input_ids, attention_mask, image_features,
+                           cfg, fcfg, dcfg, decode_plan=plan, **kw)
+    # fallback: undo ONLY the risky features. Explicit env overrides are
+    # preserved (a VACNIC_PLAN_NFFN=4 b512 sweep must not retry at the
+    # n_ffn=2 window size measured to OOM there); the shadow default's
+    # n_ffn=1 / vmem=127 side effects are reverted to the plain defaults.
+    env_nffn = "VACNIC_PLAN_NFFN" in _os.environ
+    env_vmem = "VACNIC_PLAN_VMEM" in _os.environ
+    safe_nffn = plan.n_ffn
+    if plan.ffn_shadow and not env_nffn:
+        safe_nffn = 2 if ffn_cols % 2 == 0 else 1
+    from vacnic_tpu.kernels.decode_layer import ChunkPlan as _CP
+
+    safe_vmem = plan.vmem_mb
+    if plan.ffn_shadow and not env_vmem:
+        safe_vmem = _CP._field_defaults["vmem_mb"]
+    safe = plan._replace(n_lm=0, ffn_shadow=0, n_ffn=safe_nffn,
+                         vmem_mb=safe_vmem)
     return generate_mm(params, input_ids, attention_mask, image_features,
                        cfg, fcfg, dcfg, decode_plan=safe, **kw)
 

@@ -459,12 +459,11 @@ class CaptionService:
     def _fill_to_stable(self, items: list) -> list:
         """Under sustained load (more than one request in the collected
         batch), extend collection until the stability-target bucket is full.
-        Motivation (queue24/28 on-chip): at 40 rps the 20 ms collect window
-        produced 8-bucket dispatches whose ~50 cps capacity equaled the
-        offered rate — saturation queueing, open-loop p50 ~2.2 s. Filling
-        the smallest STABLE bucket trades a bounded fill wait (≤ the
-        estimated fill time, capped at one decode of the target) for a
-        drained queue. n == 1 never waits: closed-loop latency unchanged."""
+        The wait is bounded by the STABILITY BUDGET — target/(rate*margin)
+        minus the target's decode time — so filling can never push the
+        cycle's capacity below the margin the target was chosen for (a
+        decode-time cap measurably saturated at 20 rps, queue32). n == 1
+        never waits: closed-loop latency unchanged."""
         n = len(items)
         if not self.scfg.fill_to_stable or n <= 1:
             return items
